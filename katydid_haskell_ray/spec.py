@@ -68,6 +68,9 @@ def parse_expr(j: Any) -> E.Expr:
         raise SpecError(f"bad expr {j!r}")
     if "func" in j:
         return E.func(j["func"], [parse_expr(a) for a in j.get("args", [])])
+    if "op" in j:  # builtin sugar — may also carry a "col" target
+        cexpr = parse_expr(j["value"])
+        return E.builtin(j["op"], cexpr, col=j.get("col"))
     if "var" in j:
         return E.var(j["var"])
     if "col" in j:
@@ -75,9 +78,6 @@ def parse_expr(j: Any) -> E.Expr:
     if "const" in j:
         t, v = j["const"]
         return _const(t, v)
-    if "op" in j:
-        cexpr = parse_expr(j["value"])
-        return E.builtin(j["op"], cexpr, col=j.get("col"))
     for t in _CONST_SHORTHAND:
         if t in j:
             return _const(t, j[t])

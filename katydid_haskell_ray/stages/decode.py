@@ -1,0 +1,90 @@
+"""Image decode-validation stage (actor pool).
+
+The binary-payload analog of the reference's protobuf decoder
+(/root/reference/src/Data/Katydid/Parser/Protobuf/Protobuf.hs:165-293):
+decode opaque bytes, tolerate malformed input as per-row verdicts (unknown
+fields/corrupt payloads are data, not crashes — Protobuf.hs:199-206).
+
+Checks per row (FIXTURES.md F1 anomaly classes):
+- ``check_decodes``     bytes decode under the claimed/sniffed format
+- ``check_dims``        decoded (w, h) equal the metadata columns
+- ``check_fmt_magic``   fmt label agrees with the payload magic bytes
+- ``check_phash``       recomputed perceptual hash equals the phash column
+  (exact for lossless formats; Hamming distance <= 8 for lossy formats,
+  since quantization noise can flip threshold-adjacent phash bits)
+- (optional) ``check_roundtrip`` re-encode + decode PSNR >= 40 dB for lossy
+  formats — the per-row invariant of BASELINE.json input_hint.
+
+This is a callable CLASS: decoding state (codec dispatch) binds once per
+actor; work is per-batch.  Decoding is inherently per-image, so the inner
+loop is per-row by necessity — batches stay small because rows are fat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from katydid_haskell_ray.functions import codecs
+
+
+class DecodeValidator:
+    def __init__(self, check_roundtrip: bool = False, psnr_db: float = 40.0,
+                 phash_tolerance: int = 8):
+        self.check_roundtrip = check_roundtrip
+        self.psnr_db = psnr_db
+        self.phash_tolerance = phash_tolerance
+
+    def _one(self, data, fmt, w, h, phash):
+        """Returns (decodes, dims_ok, fmt_ok, phash_ok, rt_ok, err)."""
+        if data is None:
+            return False, False, False, False, False, "null bytes"
+        magic = codecs.sniff_format(data)
+        fmt_ok = magic == fmt
+        try:
+            arr = codecs.decode_image(data, magic or fmt)
+        except codecs.DecodeError as e:
+            return False, False, fmt_ok, False, False, str(e)
+        ah, aw = arr.shape[:2]
+        dims_ok = (aw == w) and (ah == h)
+        actual_ph = codecs.phash64(arr)
+        if magic in codecs.LOSSY_FMTS:
+            from katydid_haskell_ray.state.sketches import hamming_distance64
+            phash_ok = int(hamming_distance64(actual_ph, phash)[0]) <= self.phash_tolerance
+        else:
+            phash_ok = actual_ph == phash
+        rt_ok = True
+        if self.check_roundtrip and magic in codecs.ENCODERS:
+            try:
+                rt = codecs.decode_image(codecs.ENCODERS[magic](arr), magic)
+                if magic in codecs.LOSSY_FMTS:
+                    rt_ok = codecs.psnr(arr, rt) >= self.psnr_db
+                else:
+                    rt_ok = bool((rt == arr).all())
+            except codecs.DecodeError:
+                rt_ok = False
+        return True, dims_ok, fmt_ok, phash_ok, rt_ok, ""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        phs = batch.column("phash").to_pylist()
+        res = np.zeros((n, 5), dtype=bool)
+        errs = []
+        for i in range(n):
+            d, dm, f, p, rt, err = self._one(data[i], fmts[i], ws[i], hs[i], phs[i])
+            res[i] = (d, dm, f, p, rt)
+            errs.append(err)
+        out = (
+            batch
+            .append_column("check_decodes", pa.array(res[:, 0]))
+            .append_column("check_dims", pa.array(res[:, 1]))
+            .append_column("check_fmt_magic", pa.array(res[:, 2]))
+            .append_column("check_phash", pa.array(res[:, 3]))
+        )
+        if self.check_roundtrip:
+            out = out.append_column("check_roundtrip", pa.array(res[:, 4]))
+        return out.append_column("decode_err", pa.array(errs, type=pa.string()))

@@ -1,0 +1,93 @@
+"""Key-based table checks: uniqueness (shuffle) and referential (broadcast).
+
+Uniqueness (SURVEY.md §7.3): the only genuinely wide operation in the
+engine.  Scale discipline:
+
+- project to the key column BEFORE the shuffle (never move ``bytes``);
+- pre-aggregate per batch with ``pc.value_counts`` — one (key, n) row per
+  distinct key per batch — so a skewed hot key (FIXTURES.md: one phash on
+  ~5% of rows) collapses to one row per block before the exchange; the
+  groupby then sums tiny partials.  This is the combiner-before-shuffle
+  pattern; salting is unnecessary because the partial stream is bounded by
+  (blocks × distinct-keys-per-block), not row count.
+
+Referential (SURVEY.md §2.6): Bloom filter of the referenced key set built
+once, broadcast via ``ray.put``, probed inside ``map_batches`` — a
+broadcast anti-join, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from katydid_haskell_ray.state import sketches as SK
+
+
+def partial_key_counts(key: str):
+    """map_batches fn: (key, cnt) partial counts for one batch."""
+    def f(batch: pa.Table) -> pa.Table:
+        arr = batch.column(key)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = arr.drop_null().value_counts()
+        return pa.table({key: vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+    return f
+
+
+def duplicate_keys(ds, key: str):
+    """Dataset -> Dataset of (key, dup_count) for keys appearing > 1 time."""
+    partials = ds.select_columns([key]).map_batches(
+        partial_key_counts(key), batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="dup_count"))
+    return totals.filter(expr="dup_count > 1")
+
+
+def exact_distinct_count(ds, key: str) -> int:
+    """Exact distinct-key count via the same partial-counts pre-aggregation."""
+    partials = ds.select_columns([key]).map_batches(
+        partial_key_counts(key), batch_format="pyarrow")
+    return partials.groupby(key).count().count()
+
+
+def build_bloom_from_dataset(ds, key: str, n_items_hint: int | None = None,
+                             fp_rate: float = 1e-3) -> SK.Bloom:
+    """Build a Bloom filter of a (small-side) key set by streaming batches
+    to the driver — the referenced set is the dimension side, so this is
+    bounded; for a big referenced set, swap in per-block Bloom partials
+    merged tree-wise (Bloom.merge is a bitwise or)."""
+    n = n_items_hint or max(1024, ds.count())
+    bloom = SK.Bloom(n, fp_rate)
+    for batch in ds.select_columns([key]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        arr = batch.column(key)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        bloom.add_hashes(SK.hash64_array(arr.drop_null()))
+    return bloom
+
+
+class BloomProbe:
+    """Actor stage: flag rows whose key is absent from the broadcast Bloom.
+
+    ``bloom_ref`` is a ``ray.put`` handle — fetched once per actor in
+    __init__, NOT re-shipped per batch."""
+
+    def __init__(self, bloom_ref, key: str, out_col: str = "check_ref"):
+        self.bloom: SK.Bloom = ray.get(bloom_ref)
+        self.key = key
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column(self.key)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        null = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        hashes = SK.hash64_array(arr.fill_null(""))
+        ok = self.bloom.contains_hashes(hashes)
+        ok = np.where(null, False, ok)
+        return batch.append_column(self.out_col, pa.array(ok))

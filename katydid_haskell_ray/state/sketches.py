@@ -1,0 +1,277 @@
+"""Mergeable sketches for table-level checks at 100 TB scale.
+
+The reference has no table-level operators (SURVEY.md §2.6); these implement
+the north-rule additions: HyperLogLog cardinality, KLL quantiles for
+distribution-drift detection, Bloom filters for broadcast referential checks,
+MinHash signatures for near-dup detection, SimHash fingerprints.
+
+All sketches are:
+- **associative+commutative mergeable** — accumulate per block in an actor,
+  merge partials tree-wise on the driver (tiny state, no shuffle);
+- **numpy-vectorized** — `add_hashes` / `add_values` take whole arrays;
+- **picklable** — they travel through the Ray object store.
+
+Hashing of arbitrary Arrow columns goes through :func:`hash64_array`
+(pandas' vectorized SipHash-like hashing with a fixed key: deterministic
+across processes and runs — required for Bloom broadcast + resume).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_HASH_KEY = "0123456789123456"  # fixed 16-byte key: cross-process determinism
+
+
+def hash64_array(col) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow array / numpy array / list.
+
+    Nulls hash to a fixed sentinel (callers typically filter them first).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        col = col.to_pandas()
+    arr = np.asarray(col)
+    if arr.dtype.kind in ("U", "S"):
+        arr = arr.astype(object)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+class HLL:
+    """HyperLogLog with 2^p registers (p=14 → ~0.8% relative error)."""
+
+    __slots__ = ("p", "m", "regs")
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HLL":
+        h = np.asarray(h).astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # guard bit keeps `rest` nonzero so rank is capped at 64-p+1
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # exact vectorized highest-set-bit via 6-step binary search
+        pos = np.zeros(len(h), dtype=np.uint64)
+        x = rest.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            su = np.uint64(s)
+            big = (x >> su) != 0
+            pos[big] += su
+            x[big] >>= su
+        rank = (np.uint64(63) - pos + np.uint64(1)).astype(np.uint8)
+        np.maximum.at(self.regs, idx, rank)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.exp2(-self.regs.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.regs == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting (small range)
+        return float(e)
+
+
+
+# ---------------------------------------------------------------------------
+# KLL-style quantile sketch
+# ---------------------------------------------------------------------------
+
+
+class KLL:
+    """Simplified KLL quantile sketch (levels of capacity-k buffers; level i
+    items carry weight 2^i; compaction keeps alternating items).
+
+    Follows the KLL scheme of Karnin-Lang-Liberty (PAPERS.md: "KLL±" line);
+    the compaction coin is a counter-alternated deterministic choice so
+    repeated runs produce identical sketches (resume-friendliness beats the
+    tiny bias for our drift-threshold use)."""
+
+    __slots__ = ("k", "levels", "_coin", "count")
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._coin = 0
+        self.count = 0
+
+    def add_values(self, vals: np.ndarray) -> "KLL":
+        vals = np.asarray(vals, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return self
+        self.count += len(vals)
+        self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compact()
+        return self
+
+    def _cap(self, level: int) -> int:
+        # geometrically decaying capacities, floor 8
+        c = int(self.k * (2 / 3) ** (len(self.levels) - 1 - level))
+        return max(8, c)
+
+    def _compact(self):
+        for lv in range(len(self.levels)):
+            if len(self.levels[lv]) > self._cap(lv):
+                buf = np.sort(self.levels[lv])
+                keep = buf[self._coin % 2 :: 2]
+                self._coin += 1
+                self.levels[lv] = np.empty(0, dtype=np.float64)
+                if lv + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[lv + 1] = np.concatenate([self.levels[lv + 1], keep])
+
+    def merge(self, other: "KLL") -> "KLL":
+        for lv in range(len(other.levels)):
+            while lv >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[lv] = np.concatenate([self.levels[lv], other.levels[lv]])
+        self.count += other.count
+        self._compact()
+        return self
+
+    def quantiles(self, qs) -> np.ndarray:
+        items, weights = [], []
+        for lv, buf in enumerate(self.levels):
+            if len(buf):
+                items.append(buf)
+                weights.append(np.full(len(buf), 1 << lv, dtype=np.float64))
+        if not items:
+            return np.full(len(qs), np.nan)
+        v = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        out = []
+        for q in qs:
+            pos = np.searchsorted(cw, q * total, side="left")
+            out.append(v[min(pos, len(v) - 1)])
+        return np.array(out)
+
+
+def quantile_drift(a: KLL, b: KLL, qs=None) -> float:
+    """Max normalized quantile delta between two sketches (the drift score
+    compared against a threshold; KS-style but on sketch quantiles)."""
+    qs = qs if qs is not None else np.linspace(0.05, 0.95, 19)
+    qa, qb = a.quantiles(qs), b.quantiles(qs)
+    scale = max(1e-9, float(np.nanmax(np.abs(qa))), float(np.nanmax(np.abs(qb))))
+    return float(np.nanmax(np.abs(qa - qb)) / scale)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+class Bloom:
+    """Bloom filter over 64-bit hashes; double hashing (h1 + i*h2).
+
+    Built once from the referenced key set, broadcast via ``ray.put``, probed
+    inside map_batches — the broadcast semi-join of SURVEY.md §2.6."""
+
+    __slots__ = ("nbits", "nhashes", "bits")
+
+    def __init__(self, n_items: int, fp_rate: float = 0.01):
+        nbits = int(-n_items * np.log(fp_rate) / (np.log(2) ** 2)) + 8
+        self.nbits = 1 << int(np.ceil(np.log2(max(64, nbits))))  # pow2 for mask
+        self.nhashes = max(1, int(round(np.log(2) * self.nbits / max(1, n_items))))
+        self.nhashes = min(self.nhashes, 12)
+        self.bits = np.zeros(self.nbits // 8, dtype=np.uint8)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64, copy=False)
+        h1 = h
+        h2 = (h >> np.uint64(32)) | (h << np.uint64(32)) | np.uint64(1)
+        i = np.arange(self.nhashes, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) & np.uint64(self.nbits - 1)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray) -> "Bloom":
+        pos = self._positions(h).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return self
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(h)
+        got = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return got.all(axis=0)
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+# ---------------------------------------------------------------------------
+# MinHash + SimHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """k-permutation MinHash over shingle hash sets (for LSH near-dup)."""
+
+    __slots__ = ("k", "a", "b")
+
+    def __init__(self, k: int = 128, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.k = k
+        self.a = rng.randint(1, (1 << 61) - 1, size=k).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=k).astype(np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(n_shingles,) uint64 -> (k,) uint64 signature."""
+        if len(shingle_hashes) == 0:
+            return np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = shingle_hashes.astype(np.uint64, copy=False) & _MERSENNE
+        # (k, n): (a*h + b) mod 2^61-1  (numpy uint64 wraps; use modmul trick)
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.int64:
+    """64-bit SimHash of a token hash multiset."""
+    if len(token_hashes) == 0:
+        return np.int64(0)
+    h = token_hashes.astype(np.uint64, copy=False)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+    w = weights if weights is not None else np.ones(len(h))
+    score = (bits * 2 - 1).T @ w
+    out = np.uint64(0)
+    for i in range(64):
+        if score[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out.astype(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-LUT)."""
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+    x = x.astype(np.uint64, copy=False)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in range(0, 64, 8):
+        out += lut[np.bitwise_and(x >> np.uint64(shift), np.uint64(0xFF)).astype(np.uint8)]
+    return out
+
+
+def hamming_distance64(a, b) -> np.ndarray:
+    """Hamming distance between int64/uint64 arrays (or array vs scalar)."""
+    av = np.atleast_1d(np.asarray(a)).astype(np.int64).view(np.uint64)
+    bv = np.atleast_1d(np.asarray(b)).astype(np.int64).view(np.uint64)
+    return popcount64(av ^ bv)

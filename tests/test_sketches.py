@@ -1,0 +1,97 @@
+"""Sketch accuracy + mergeability tests (SURVEY.md §2.6 additions)."""
+
+import numpy as np
+import pyarrow as pa
+
+from katydid_haskell_ray.state import sketches as S
+
+
+def test_hash64_deterministic_across_types():
+    a = S.hash64_array(pa.array(["x", "y", "z"]))
+    b = S.hash64_array(["x", "y", "z"])
+    assert (a == b).all()
+    c = S.hash64_array(pa.chunked_array([pa.array([1, 2]), pa.array([3])]))
+    assert len(c) == 3 and c.dtype == np.uint64
+
+
+def test_hll_accuracy_and_merge():
+    vals = S.hash64_array(np.arange(200_000))  # full-range 64-bit hashes
+    true_card = len(np.unique(vals))
+    h1, h2 = S.HLL(), S.HLL()
+    h1.add_hashes(vals[:100_000])
+    h2.add_hashes(vals[100_000:])
+    h1.merge(h2)
+    est = h1.estimate()
+    assert abs(est - true_card) / true_card < 0.03, (est, true_card)
+    # merge of identical halves == union (idempotent registers)
+    h3 = S.HLL().add_hashes(vals)
+    assert abs(h3.estimate() - est) / true_card < 0.02
+
+
+def test_hll_small_range_linear_counting():
+    h = S.HLL().add_hashes(S.hash64_array([f"k{i}" for i in range(100)]))
+    assert abs(h.estimate() - 100) < 5
+
+
+def test_kll_quantiles_and_merge():
+    rng = np.random.RandomState(2)
+    data = rng.normal(50, 10, size=100_000)
+    k1, k2 = S.KLL(), S.KLL()
+    k1.add_values(data[:50_000])
+    k2.add_values(data[50_000:])
+    k1.merge(k2)
+    qs = np.array([0.1, 0.5, 0.9])
+    est = k1.quantiles(qs)
+    true = np.quantile(data, qs)
+    assert np.abs(est - true).max() < 1.5, (est, true)
+    assert k1.count == 100_000
+
+
+def test_quantile_drift_detects_shift():
+    rng = np.random.RandomState(3)
+    base = S.KLL().add_values(rng.normal(100, 5, 50_000))
+    same = S.KLL().add_values(rng.normal(100, 5, 50_000))
+    shifted = S.KLL().add_values(rng.normal(130, 5, 50_000))
+    assert S.quantile_drift(base, same) < 0.05
+    assert S.quantile_drift(base, shifted) > 0.15
+
+
+def test_bloom_membership():
+    keys = S.hash64_array([f"tok{i}" for i in range(50_000)])
+    probe_in = S.hash64_array([f"tok{i}" for i in range(0, 50_000, 7)])
+    probe_out = S.hash64_array([f"miss{i}" for i in range(20_000)])
+    b = S.Bloom(50_000, fp_rate=0.01).add_hashes(keys)
+    assert b.contains_hashes(probe_in).all()  # no false negatives, ever
+    fp = b.contains_hashes(probe_out).mean()
+    assert fp < 0.03, fp
+    # merge: union of two filters built with the same geometry
+    b1 = S.Bloom(50_000, 0.01).add_hashes(keys[:25_000])
+    b2 = S.Bloom(50_000, 0.01).add_hashes(keys[25_000:])
+    b1.merge(b2)
+    assert b1.contains_hashes(probe_in).all()
+
+
+def test_minhash_jaccard_estimate():
+    mh = S.MinHasher(k=256)
+    a = S.hash64_array([f"sh{i}" for i in range(1000)])
+    b = S.hash64_array([f"sh{i}" for i in range(500, 1500)])  # J = 1/3
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    assert abs(est - 1 / 3) < 0.08, est
+    # identical sets -> identical signatures
+    assert (mh.signature(a) == mh.signature(a.copy())).all()
+
+
+def test_simhash_similarity():
+    toks_a = S.hash64_array([f"w{i}" for i in range(100)])
+    toks_b = S.hash64_array([f"w{i}" for i in range(95)] + ["x1", "x2", "x3", "x4", "x5"])
+    toks_c = S.hash64_array([f"z{i}" for i in range(100)])
+    ha, hb, hc = (S.simhash64(t) for t in (toks_a, toks_b, toks_c))
+    near = S.hamming_distance64(np.array([ha]), hb)[0]
+    far = S.hamming_distance64(np.array([ha]), hc)[0]
+    assert near < 12 < far, (near, far)
+
+
+def test_popcount():
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    assert list(S.popcount64(x)) == [0, 1, 2, 64]

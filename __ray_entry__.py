@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native katydid validation engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``   — flagship validation pipeline over sf0.001 (Ray already
+                initialised by the driver; nothing here calls ray.init).
+``queries()`` — one callable per implemented operator/pipeline (SURVEY.md §2
+                + §2.6 additions); each takes sf_dir.
+``oracle_sql()`` — DuckDB-equivalent SQL per query.  Image-table queries
+                read the SAME parquet file the Ray side reads (synthesized
+                deterministically under /tmp/graft_images by ``queries()``),
+                so both sides compare identical bytes.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-parity convention: see pipelines/queries.py docstring (floor to
+integer cents/micros before aggregation on BOTH sides).
 """
 
 from __future__ import annotations
@@ -18,27 +18,195 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+IMAGES_SF001 = "/tmp/graft_images/sf0.01/images.parquet"  # correctness sf
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: constraint + decode verdicts over the sf0.001 images table."""
+    from katydid_haskell_ray.pipelines.validate import verdict_dataset
+    from katydid_haskell_ray.sources.synth_images import ensure_images_parquet
+
+    path = ensure_images_parquet("sf0.001")
+    return verdict_dataset(path, decode_concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from katydid_haskell_ray.pipelines import queries as Q
+    from katydid_haskell_ray.sources.synth_images import ensure_images_parquet
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # synthesize the image tables the oracles read, before either side runs
+    for sf in ("sf0.001", "sf0.01"):
+        ensure_images_parquet(sf)
+
+    return {
+        # relational core
+        "q1_lineitem_agg": Q.q1_lineitem_agg,
+        "q3_join_revenue": Q.q3_join_revenue,
+        "top_orders": Q.top_orders,
+        "filter_docs": Q.filter_docs,
+        "distinct_users": Q.distinct_users,
+        "events_windowed": Q.events_windowed,
+        "events_sessions": Q.events_sessions,
+        # text analysis + dedup
+        "doc_token_stats": Q.doc_token_stats,
+        "exact_dedupe_docs": Q.exact_dedupe_docs,
+        "dup_doc_groups": Q.dup_doc_groups,
+        "minhash_dedupe_docs": Q.minhash_dedupe_docs,   # rows-only
+        "simhash_docs": Q.simhash_docs,                 # rows-only
+        "langid_docs": Q.langid_docs,                   # rows-only
+        # similarity search
+        "knn_brute": Q.knn_brute,
+        "knn_lsh": Q.knn_lsh,                           # rows-only
+        "cosine_pairs": Q.cosine_pairs,
+        # images (input_hint table)
+        "images_stats": Q.images_stats,
+        "images_uniqueness": Q.images_uniqueness,
+        "images_phash_dups": Q.images_phash_dups,
+        "images_verdicts": Q.images_verdicts,
+        "images_check_failures": Q.images_check_failures,
+        "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
+        "images_features": Q.images_features,            # rows-only (codec)
+    }
+
+
+_IMAGES = f"read_parquet('{IMAGES_SF001}')"
+
+# flat-check SQL fragments with katydid error-as-value semantics:
+# NULL/type-error on either side of a comparison => FALSE (Compare.hs:50-53)
+_CHECK_SQL = {
+    "w_pos": "COALESCE(w >= 1, FALSE)",
+    "w_max": "COALESCE(w <= 16384, FALSE)",
+    "h_pos": "COALESCE(h >= 1, FALSE)",
+    "h_max": "COALESCE(h <= 16384, FALSE)",
+    "phash_nonzero": "COALESCE(phash <> 0, FALSE)",
+    "fmt_known": "COALESCE(fmt IN ('png','bmp','jpeg'), FALSE)",
+    "caption_present": "COALESCE(length(caption) > 0, FALSE)",
+    "caption_len": "COALESCE(length(caption) <= 256, FALSE)",
+    "caption_ascii": "COALESCE(regexp_matches(caption, '^[ -~]*$'), FALSE)",
+    "bytes_min": "COALESCE(octet_length(bytes) > 8, FALSE)",
+}
+
+_AUG_DOCS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL SELECT doc_id + 2000000, text || ' tailtoken' FROM documents
+        WHERE doc_id % 7 = 0
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pass_expr = " AND ".join(_CHECK_SQL.values())
+    fail_counts = " UNION ALL ".join(
+        f"SELECT '{name}' AS check, CAST(SUM(CASE WHEN NOT ({expr}) THEN 1 "
+        f"ELSE 0 END) AS BIGINT) AS n_fail FROM {_IMAGES}"
+        for name, expr in _CHECK_SQL.items())
+    return {
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_join_revenue": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders
+            ORDER BY total_cents DESC, o_orderkey ASC LIMIT 10
+        """,
+        "filter_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE lang = 'en' AND n_chars > 500
+        """,
+        "distinct_users": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+        """,
+        "events_windowed": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+                   event_type,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session,
+                       1 AS one
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   CAST(SUM(one) AS BIGINT) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(floor(1e6 * (
+                        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / greatest(length(text), 1))) AS BIGINT) AS alpha_ratio_micro,
+                   CAST(floor(1e6 * (
+                        length(regexp_replace(text, '\s', '', 'g'))
+                        / greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                                   x -> x <> '')), 1))) AS BIGINT) AS mean_token_len_micro
+            FROM documents
+        """,
+        "exact_dedupe_docs": f"""
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+            FROM ({_AUG_DOCS}) GROUP BY text
+        """,
+        "dup_doc_groups": f"""
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM ({_AUG_DOCS}) GROUP BY text HAVING COUNT(*) > 1
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim
+                       FROM embeddings e CROSS JOIN q),
+                 r AS (SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, vec_id ASC) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "cosine_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.40
+        """,
+        "images_stats": " UNION ALL ".join(
+            f"SELECT '{c}' AS col, COUNT(*) AS n, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, "
+            f"CAST(MIN({c}) AS BIGINT) AS min_v, CAST(MAX({c}) AS BIGINT) AS max_v "
+            f"FROM {_IMAGES}" for c in ("w", "h", "phash")),
+        "images_uniqueness": f"""
+            SELECT image_id, COUNT(*) AS dup_count FROM {_IMAGES}
+            GROUP BY image_id HAVING COUNT(*) > 1
+        """,
+        "images_phash_dups": f"""
+            SELECT phash, COUNT(*) AS dup_count FROM {_IMAGES}
+            GROUP BY phash HAVING COUNT(*) > 1
+        """,
+        "images_verdicts": f"""
+            SELECT image_id, ({pass_expr}) AS pass FROM {_IMAGES}
+        """,
+        "images_check_failures": fail_counts,
+    }

@@ -1,0 +1,118 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query times.
+
+Headline metric: the flagship validation pipeline (constraints + decode +
+verdict write + stats/uniqueness layer) over a synthesized images table
+sized to the scale factor (sf * 1e6 rows), reported as wall seconds
+(``value``) with derived ``images_per_sec``.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+``--scaling``: runs the headline twice in fresh processes at num_cpus=8 and
+num_cpus=32 on the SAME cached input and reports both throughputs plus
+scaling efficiency = (t_8 / t_32) / (32 / 8) — the sandbox evidence protocol
+for the north rule's two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_name.removeprefix("sf"))
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from katydid_haskell_ray.pipelines import queries as Q
+    from katydid_haskell_ray.pipelines.validate import run_validation
+    from katydid_haskell_ray.sources import synth_images as SI
+
+    # ---- headline: validated images/sec ----
+    n_images = max(1000, int(sf * 1_000_000))
+    img_dir = SI.ensure_bench_images(n_images)  # cached across runs/levels
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(img_dir).count()
+
+    out_dir = f"/tmp/graft_bench_out/{sf_name}_{num_cpus}_{int(time.time())}"
+    t0 = time.time()
+    report = run_validation(img_dir, out_dir, n_shards=max(4, num_cpus // 4),
+                            resume=False)
+    headline = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- per-query wall times over the sf tables ----
+    def consume(res):
+        import pandas as pd
+        import pyarrow as pa
+        if isinstance(res, ray.data.Dataset):
+            for _ in res.iter_batches(batch_size=65536):
+                pass
+        return res
+
+    times: dict[str, float] = {}
+    for name in ("q1_lineitem_agg", "q3_join_revenue", "events_windowed",
+                 "events_sessions", "doc_token_stats", "exact_dedupe_docs",
+                 "minhash_dedupe_docs", "knn_brute", "images_verdicts",
+                 "images_uniqueness"):
+        fn = getattr(Q, name)
+        t = time.time()
+        consume(fn(sf_dir))
+        times[name] = round(time.time() - t, 3)
+
+    result = {
+        "metric": "validated_images_pipeline_wall",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "images_per_sec": round(report["n_rows"] / headline, 1),
+        "n_images": report["n_rows"],
+        "queries": times,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    out = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              check=True)
+        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    thr_lo, thr_hi = out[lo]["images_per_sec"], out[hi]["images_per_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "images_per_sec_lo": thr_lo, "images_per_sec_hi": thr_hi,
+        "sf": out[hi]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,112 @@
+"""Text analysis kernels: language-ID, quality scoring, token counting,
+document fingerprinting.  All vectorized (pandas/numpy str kernels); regexes
+compile once at module load (per-process — the actor-pool discipline).
+
+Definitions are chosen to be exactly reproducible in ANSI SQL where an
+oracle is required (token_count, quality metrics) and documented where not
+(langid, fingerprint).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from katydid_haskell_ray.state import sketches as SK
+
+_WS_RE = re.compile(r"\s+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "para", "en", "que"},
+}
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    """Number of whitespace-separated non-empty tokens.
+
+    SQL-equivalent: len(list_filter(regexp_split_to_array(text,'\\s+'),
+    x -> x <> ''))."""
+    return texts.fillna("").str.split().str.len().to_numpy(dtype=np.int64)
+
+
+def quality_metrics(texts: pd.Series) -> pd.DataFrame:
+    """Deterministic quality features (SQL-reproducible arithmetic):
+
+    - n_tokens        whitespace token count
+    - n_chars         character count
+    - alpha_ratio     alphabetic chars / chars            (round 6)
+    - space_ratio     whitespace chars / chars            (round 6)
+    - mean_token_len  (n_chars - n_spaces) / n_tokens     (round 6)
+    """
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy(dtype=np.int64)
+    n_alpha = t.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+    n_space = t.str.count(r"\s").to_numpy(dtype=np.int64)
+    n_tok = token_count(t)
+    denom = np.maximum(n_chars, 1)
+    return pd.DataFrame({
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "alpha_ratio": np.round(n_alpha / denom, 6),
+        "space_ratio": np.round(n_space / denom, 6),
+        "mean_token_len": np.round((n_chars - n_space) / np.maximum(n_tok, 1), 6),
+    })
+
+
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Stopword-profile language guess; 'und' (undetermined) when no
+    profile scores > 0.  Heuristic — not SQL-expressible; tested against
+    hand-labeled fixtures."""
+    out = []
+    for t in texts.fillna(""):
+        toks = set(w.lower() for w in t.split())
+        best, best_score = "und", 0
+        for lang, stop in _LANG_PROFILES.items():
+            score = len(toks & stop)
+            if score > best_score:
+                best, best_score = lang, score
+        out.append(best)
+    return pd.Series(out, index=texts.index)
+
+
+def fingerprint64(texts: pd.Series, shingle: int = 4) -> np.ndarray:
+    """Order-insensitive 64-bit document fingerprint: xor-fold of character
+    n-gram hashes (a rolling-hash-style content fingerprint; two documents
+    differing by a reordering of distinct shingles keep distinct prints)."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts.fillna("")):
+        if len(t) < shingle:
+            grams = [t]
+        else:
+            grams = [t[j:j + shingle] for j in range(len(t) - shingle + 1)]
+        if grams:
+            out[i] = np.bitwise_xor.reduce(SK.hash64_array(grams))
+    return out.view(np.int64)
+
+
+class TextAnalysisStage:
+    """map_batches stage adding langid/quality/token/fingerprint columns."""
+
+    def __init__(self, col: str = "text", with_langid: bool = True,
+                 with_fingerprint: bool = True):
+        self.col = col
+        self.with_langid = with_langid
+        self.with_fingerprint = with_fingerprint
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.col]
+        qm = quality_metrics(t)
+        for c in qm.columns:
+            batch[c] = qm[c].to_numpy()
+        if self.with_langid:
+            batch["lang_guess"] = lang_id(t).to_numpy()
+        if self.with_fingerprint:
+            batch["fingerprint"] = fingerprint64(t)
+        return batch

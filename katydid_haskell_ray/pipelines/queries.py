@@ -1,0 +1,405 @@
+"""Query implementations for the correctness gate (__ray_entry__.queries).
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table whose columns match the paired oracle SQL in
+``__ray_entry__.oracle_sql`` exactly (names AND value representations).
+
+Float-determinism convention: any floating aggregate that must match the
+DuckDB oracle bit-for-bit is converted to integer micro/cent units with
+``floor`` BEFORE summation (integer sums are order-independent; the same
+IEEE double goes into the same floor on both sides).  Per-row derived
+doubles are compared as ``floor(x * 1e6)`` BIGINTs for the same reason.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from katydid_haskell_ray.functions import text as TX
+from katydid_haskell_ray.sources import synth_images as SI
+from katydid_haskell_ray.stages import dedupe as DD
+from katydid_haskell_ray.stages import keys as K
+from katydid_haskell_ray.stages import similarity as SIM
+from katydid_haskell_ray.stages import window as W
+from katydid_haskell_ray.stages.constraint import FlatConstraints
+from katydid_haskell_ray.stages.decode import DecodeValidator
+from katydid_haskell_ray.stages.multimodal import ImageOps
+from katydid_haskell_ray.pipelines.validate import DEFAULT_CHECKS
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def images_parquet(sf_dir: str) -> str:
+    """Synthesize (cached) the images table for this scale factor."""
+    return SI.ensure_images_parquet(_sf_name(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def grouped_sum(ds, keys: list[str], sums: dict[str, str], count_as: str | None):
+    """Partial-aggregate per batch (pandas groupby), then a global groupby
+    over the tiny partial stream — the combiner-before-shuffle pattern.
+    ``sums`` maps output column -> input column (summed)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        agg = {out: (src, "sum") for out, src in sums.items()}
+        if count_as:
+            any_col = keys[0]
+            agg[count_as] = (any_col, "size")
+        return b.groupby(list(keys), as_index=False).agg(**agg)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(out, alias_name=out) for out in sums]
+    if count_as:
+        aggs.append(Sum(count_as, alias_name=count_as))
+    return partials.groupby(list(keys)).aggregate(*aggs)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100).astype(np.int64)
+
+
+def _micros(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# relational queries over the provided tables
+# ---------------------------------------------------------------------------
+
+
+def q1_lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape: pricing summary by returnflag/linestatus."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_qty"] = b["l_quantity"].to_numpy().astype(np.int64)
+        b["sum_base_cents"] = _cents(b["l_extendedprice"].to_numpy())
+        b["sum_disc_cents"] = _cents(
+            b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy()))
+        return b[["l_returnflag", "l_linestatus", "sum_qty",
+                  "sum_base_cents", "sum_disc_cents"]]
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return grouped_sum(prepped, ["l_returnflag", "l_linestatus"],
+                       {"sum_qty": "sum_qty", "sum_base_cents": "sum_base_cents",
+                        "sum_disc_cents": "sum_disc_cents"}, count_as="n")
+
+
+def q3_join_revenue(sf_dir: str):
+    """orders ⋈ customer via broadcast dim lookup -> revenue by segment."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class AddSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)  # fetched once per actor
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b["c_mktsegment"] = b["o_custkey"].map(self.seg)
+            b["revenue_cents"] = _cents(b["o_totalprice"].to_numpy())
+            return b[["c_mktsegment", "revenue_cents"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    with_seg = orders.map_batches(AddSegment, batch_format="pandas",
+                                  concurrency=2)
+    return grouped_sum(with_seg, ["c_mktsegment"],
+                       {"revenue_cents": "revenue_cents"}, count_as="n_orders")
+
+
+def top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice").to_numpy(zero_copy_only=False))
+        return (b.drop_columns(["o_totalprice"])
+                .append_column("total_cents", pa.array(cents)))
+
+    return (ds.map_batches(to_cents, batch_format="pyarrow")
+            .sort(["total_cents", "o_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+def filter_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "source"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b["lang"], "en"),
+                                   pc.greater(b["n_chars"], 500)))
+        .select(["doc_id", "source"]),
+        batch_format="pyarrow")
+
+
+def distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = K.exact_distinct_count(ds, "user_id")
+    return pd.DataFrame([{"n_users": np.int64(n)}])
+
+
+def events_windowed(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = W.add_tumbling_window(b, width_s=3600)
+        start_s = (b.column("window_start").cast(pa.int64())
+                   .to_numpy(zero_copy_only=False) // 1_000_000)
+        cents = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        return pa.table({"window_start_s": pa.array(start_s),
+                         "event_type": b.column("event_type"),
+                         "value_cents": pa.array(cents)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_sum(prepped, ["window_start_s", "event_type"],
+                       {"sum_value_cents": "value_cents"}, count_as="n_events")
+
+
+def events_sessions(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = W.sessionize(ds, key="user_id", gap_s=1800)
+    from ray.data.aggregate import Count, Sum
+    out = sess.groupby("user_id").aggregate(
+        Count(alias_name="n_sessions"),
+        Sum("n_events", alias_name="n_events")).to_pandas()
+    return out.astype({"user_id": np.int64, "n_sessions": np.int64,
+                       "n_events": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# text analysis + dedup over documents
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        # raw ratios (no intermediate rounding): floor(1e6*x) of the same
+        # IEEE double on both sides is exact; round() is not (half-even vs
+        # half-away ties, e.g. 105/128)
+        t = b["text"].fillna("")
+        n_chars = t.str.len().to_numpy(dtype=np.int64)
+        n_alpha = t.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+        n_space = t.str.count(r"\s").to_numpy(dtype=np.int64)
+        n_tok = TX.token_count(t)
+        denom = np.maximum(n_chars, 1)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": n_tok,
+            "n_chars": n_chars,
+            "alpha_ratio_micro": _micros(n_alpha / denom),
+            "mean_token_len_micro": _micros((n_chars - n_space) / np.maximum(n_tok, 1)),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _augmented_docs(sf_dir: str):
+    """documents ∪ exact copies (doc_id+1000000 for doc_id%10==0) ∪ near
+    copies (doc_id+2000000, one token appended, for doc_id%7==0) — the
+    dedup-positive corpus, reproducible in SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        out_i, out_t = [], []
+        for i, t in zip(ids, texts):
+            if i % 10 == 0:
+                out_i.append(i + 1_000_000)
+                out_t.append(t)
+            if i % 7 == 0:
+                out_i.append(i + 2_000_000)
+                out_t.append(t + " tailtoken")
+        return pa.table({"doc_id": pa.array(out_i, type=pa.int64()),
+                         "text": pa.array(out_t, type=pa.string())})
+
+    return ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+
+
+def exact_dedupe_docs(sf_dir: str):
+    """Kept ids (min doc_id per distinct text) over the augmented corpus."""
+    return DD.exact_dedupe(_augmented_docs(sf_dir), col="text", id_col="doc_id")
+
+
+def dup_doc_groups(sf_dir: str):
+    """(representative id, n_copies) for duplicated texts."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = _augmented_docs(sf_dir).map_batches(
+        lambda b: DD.add_content_hash(b, "text").select(["doc_id", "content_hash"]),
+        batch_format="pyarrow")
+    grouped = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    return (grouped.filter(expr="n_copies > 1")
+            .select_columns(["doc_id", "n_copies"]))
+
+
+def minhash_dedupe_docs(sf_dir: str):
+    """Near-dup clusters over the augmented corpus (no SQL oracle — verified
+    against the brute-force Jaccard oracle in tests)."""
+    clusters, kept = DD.minhash_dedupe(
+        _augmented_docs(sf_dir), threshold=0.5, concurrency=2)
+    return pa.table({"id": pa.array(clusters["id"], type=pa.int64()),
+                     "cluster": pa.array(clusters["cluster"], type=pa.int64())})
+
+
+def simhash_docs(sf_dir: str):
+    """(doc_id, simhash) fingerprints (no SQL oracle — deterministic rows)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(DD.SimHashStage, batch_format="pyarrow",
+                          concurrency=2).select_columns(["doc_id", "simhash"])
+
+
+def langid_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "lang_guess": TX.lang_id(b["text"])}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_KNN_QUERY_IDS = [0, 1, 2]
+
+
+def _query_vecs(sf_dir: str):
+    tab = pd.read_parquet(_t(sf_dir, "embeddings"))
+    sel = tab[tab["vec_id"].isin(_KNN_QUERY_IDS)].sort_values("vec_id")
+    return sel["vec_id"].tolist(), np.stack(sel["embedding"].to_numpy())
+
+
+def knn_brute(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qvecs = _query_vecs(sf_dir)
+    out = SIM.knn_topk(ds, qids, qvecs, k=5, concurrency=2)
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
+def knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (no oracle — recall vs brute measured
+    in tests)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qvecs = _query_vecs(sf_dir)
+    out = SIM.knn_topk_lsh(ds, qids, qvecs, k=5, concurrency=2)
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
+def cosine_pairs(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = SIM.cosine_near_pairs(ds, threshold=0.40, concurrency=2)
+    return out[["a", "b"]].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# images table (synthesized input_hint shape)
+# ---------------------------------------------------------------------------
+
+
+def images_stats(sf_dir: str):
+    path = images_parquet(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["w", "h", "phash"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for col in ("w", "h", "phash"):
+            arr = b.column(col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            valid = arr.drop_null()
+            v = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+            rows.append({"col": col, "n": len(arr),
+                         "nulls": arr.null_count,
+                         "min_v": int(v.min()), "max_v": int(v.max())})
+        return pa.Table.from_pylist(rows)
+
+    from ray.data.aggregate import Max, Min, Sum
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("col").aggregate(
+        Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"),
+        Min("min_v", alias_name="min_v"), Max("max_v", alias_name="max_v"))
+
+
+def images_uniqueness(sf_dir: str):
+    ds = ray.data.read_parquet(images_parquet(sf_dir), columns=["image_id"])
+    return K.duplicate_keys(ds, "image_id")
+
+
+def images_phash_dups(sf_dir: str):
+    ds = ray.data.read_parquet(images_parquet(sf_dir), columns=["phash"])
+    return K.duplicate_keys(ds, "phash")
+
+
+def images_verdicts(sf_dir: str):
+    """Per-row flat-constraint verdict — the per-row pass/fail parity check
+    (decode checks are separate: not SQL-expressible)."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir))
+    fc = FlatConstraints(DEFAULT_CHECKS)
+
+    def f(b: pa.Table) -> pa.Table:
+        out = fc(b)
+        return out.select(["image_id", "pass"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def images_check_failures(sf_dir: str):
+    """(check, n_fail) per flat check."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir))
+    fc = FlatConstraints(DEFAULT_CHECKS)
+    names = fc.check_names()
+
+    def f(b: pa.Table) -> pa.Table:
+        out = fc(b)
+        rows = []
+        for nm in names:
+            col = out.column(f"check_{nm}").to_numpy(zero_copy_only=False)
+            rows.append({"check": nm, "n_fail": int((~col).sum())})
+        return pa.Table.from_pylist(rows)
+
+    from ray.data.aggregate import Sum
+    partials = ds.map_batches(f, batch_format="pyarrow")
+    return partials.groupby("check").aggregate(Sum("n_fail", alias_name="n_fail"))
+
+
+def images_decode_checks(sf_dir: str):
+    """Per-row decode verdicts (codec checks — no SQL oracle)."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir))
+    return ds.map_batches(
+        DecodeValidator, batch_format="pyarrow", batch_size=512,
+        concurrency=2, num_cpus=1,
+    ).select_columns(["image_id", "check_decodes", "check_dims",
+                      "check_fmt_magic", "check_phash"])
+
+
+def images_features(sf_dir: str):
+    """Multimodal decode -> thumbnail + feature plumbing (no SQL oracle)."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir))
+    return ds.map_batches(ImageOps, batch_format="pyarrow", batch_size=512,
+                          concurrency=2).select_columns(
+        ["image_id", "feat", "decode_ok"])

@@ -20,6 +20,7 @@ expectation):
     i % 1000 == 7   -> fmt label disagrees with magic bytes
     i % 1000 == 9   -> empty caption
     i % 1000 == 13  -> over-length caption (> 256 chars)
+    i % 1000 == 15  -> non-ASCII caption (regex-check positive)
     i % 1000 == 17  -> null caption
     i % 20  == 11   -> phash = HOT_PHASH (skewed hot key, ~5% of rows)
 """
@@ -82,6 +83,8 @@ def _caption(i: int) -> str | None:
     cap = " ".join(words)
     if m == 13:
         cap = (cap + " ") * (300 // max(1, len(cap)) + 1)  # force > 256 chars
+    if m == 15:
+        cap = cap + " café über"  # non-ASCII injection
     return cap
 
 

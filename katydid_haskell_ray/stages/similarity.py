@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (list<float>).
+
+- :func:`knn_topk` — brute-force cosine top-k: the query matrix is broadcast
+  once via ``ray.put``; each batch does ONE numpy matmul against it and
+  emits only its local top-k per query; local top-ks merge on the driver
+  (k × queries rows per block — tiny).  No shuffle, no materialization.
+- :class:`LSHBucketStage` + :func:`knn_topk_lsh` — the scale path: random-
+  hyperplane LSH buckets restrict candidates before the exact rerank.
+- :func:`cosine_near_pairs` — embedding-cosine near-dup pairs (all pairs
+  with similarity >= threshold) via blockwise matmul against a broadcast
+  matrix (fine while one side fits a worker; shard the broadcast side for
+  larger tables).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _embed_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class TopKScorer:
+    """Actor stage: per-batch local top-k against the broadcast query matrix
+    (fetched once per actor in __init__, never re-shipped per batch)."""
+
+    def __init__(self, queries_ref, k: int, col: str, id_col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qmat = q["qmat"]  # already normalized, (Q, d) float32
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embed_matrix(batch, self.col))
+        sims = m @ self.qmat.T  # (n, Q)
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        k = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            rows = top[:, qi]
+            out_q.extend([self.qids[qi]] * len(rows))
+            out_id.extend(ids[rows].tolist())
+            out_sim.extend(sims[rows, qi].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         self.id_col: pa.array(out_id),
+                         "sim": pa.array(out_sim, type=pa.float64())})
+
+
+def knn_topk(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
+             col: str = "embedding", id_col: str = "vec_id",
+             concurrency: int = 4):
+    """Brute-force cosine top-k; returns a pandas frame
+    (query_id, id, sim, rank) with rank 1..k per query (ties broken by id)."""
+    import pandas as pd
+
+    q = {"qids": list(query_ids),
+         "qmat": _normalize(np.asarray(query_vecs, dtype=np.float32))}
+    ref = ray.put(q)
+    local = ds.map_batches(
+        TopKScorer, fn_constructor_args=(ref, k, col, id_col),
+        batch_format="pyarrow", concurrency=concurrency).to_pandas()
+    local["sim"] = local["sim"].round(6)  # stable across summation orders
+    local = local.sort_values(["query_id", "sim", id_col],
+                              ascending=[True, False, True])
+    out = local.groupby("query_id", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
+class LSHBucketStage:
+    """Random-hyperplane signature: b-bit bucket id per row (the IVF/LSH
+    scale path — candidates are restricted to matching buckets)."""
+
+    def __init__(self, planes_ref, col: str):
+        self.planes = ray.get(planes_ref)  # (b, d) float32
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _embed_matrix(batch, self.col)
+        bits = (m @ self.planes.T) > 0  # (n, b)
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for i in range(bits.shape[1]):
+            bucket = (bucket << 1) | bits[:, i]
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def make_planes(dim: int, nbits: int = 8, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(nbits, dim)).astype(np.float32)
+
+
+def knn_topk_lsh(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
+                 nbits: int = 6, col: str = "embedding", id_col: str = "vec_id",
+                 concurrency: int = 4, probe_hamming: int = 1):
+    """Approximate top-k: score only rows whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe)."""
+    import pandas as pd
+
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    planes = make_planes(qmat.shape[1], nbits)
+    planes_ref = ray.put(planes)
+    qbits = (qmat @ planes.T) > 0
+    qbuckets = np.zeros(len(qmat), dtype=np.int64)
+    for i in range(qbits.shape[1]):
+        qbuckets = (qbuckets << 1) | qbits[:, i]
+    # probe set: buckets within the Hamming radius
+    probe: dict[int, list[int]] = {}
+    for qi, qb in enumerate(qbuckets):
+        cands = {int(qb)}
+        if probe_hamming >= 1:
+            cands |= {int(qb) ^ (1 << i) for i in range(nbits)}
+        if probe_hamming >= 2:
+            cands |= {int(qb) ^ (1 << i) ^ (1 << j)
+                      for i in range(nbits) for j in range(i + 1, nbits)}
+        for c in cands:
+            probe.setdefault(c, []).append(qi)
+
+    q = {"qids": list(query_ids), "qmat": qmat}
+    qref = ray.put(q)
+    probe_ref = ray.put(probe)
+
+    class BucketScorer:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+            qq = ray.get(qref)
+            self.qids, self.qmat = qq["qids"], qq["qmat"]
+            self.probe = ray.get(probe_ref)
+            self.col, self.id_col, self.k = col, id_col, k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_embed_matrix(batch, self.col))
+            bits = (m @ self.planes.T) > 0
+            bucket = np.zeros(len(m), dtype=np.int64)
+            for i in range(bits.shape[1]):
+                bucket = (bucket << 1) | bits[:, i]
+            ids = np.asarray(batch.column(self.id_col).to_pylist())
+            out_q, out_id, out_sim = [], [], []
+            for b in np.unique(bucket):
+                qis = self.probe.get(int(b))
+                if not qis:
+                    continue
+                rows = np.nonzero(bucket == b)[0]
+                sims = m[rows] @ self.qmat[qis].T
+                for ci, qi in enumerate(qis):
+                    order = np.argsort(-sims[:, ci])[: self.k]
+                    out_q.extend([self.qids[qi]] * len(order))
+                    out_id.extend(ids[rows[order]].tolist())
+                    out_sim.extend(sims[order, ci].astype(np.float64).tolist())
+            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                             self.id_col: pa.array(out_id),
+                             "sim": pa.array(out_sim, type=pa.float64())})
+
+    local = ds.map_batches(BucketScorer, batch_format="pyarrow",
+                           concurrency=concurrency).to_pandas()
+    local["sim"] = local["sim"].round(6)
+    local = local.sort_values(["query_id", "sim", id_col],
+                              ascending=[True, False, True])
+    out = local.groupby("query_id", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
+def cosine_near_pairs(ds, *, threshold: float = 0.95, col: str = "embedding",
+                      id_col: str = "vec_id", concurrency: int = 4):
+    """All (a, b, sim) pairs with cosine >= threshold, a < b.
+
+    The full (small-side) matrix is broadcast once; each batch matmuls
+    against it.  Partitioning assumption: the broadcast side fits worker
+    memory (N×d float32) — for bigger tables, tile the broadcast side."""
+    import pandas as pd
+
+    full_ids, mats = [], []
+    for b in ds.select_columns([id_col, col]).iter_batches(
+            batch_size=16384, batch_format="pyarrow"):
+        full_ids.extend(b.column(id_col).to_pylist())
+        mats.append(_normalize(_embed_matrix(b, col)))
+    all_mat = np.vstack(mats)
+    all_ids = np.asarray(full_ids)
+    ref = ray.put({"ids": all_ids, "mat": all_mat})
+
+    class PairFinder:
+        def __init__(self):
+            d = ray.get(ref)
+            self.ids, self.mat = d["ids"], d["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_embed_matrix(batch, col))
+            bids = np.asarray(batch.column(id_col).to_pylist())
+            sims = m @ self.mat.T
+            ri, ci = np.nonzero(sims >= threshold)
+            a, bb = bids[ri], self.ids[ci]
+            keep = a < bb
+            return pa.table({
+                "a": pa.array(a[keep].tolist(), type=pa.int64()),
+                "b": pa.array(bb[keep].tolist(), type=pa.int64()),
+                "sim": pa.array(np.round(sims[ri, ci][keep].astype(np.float64), 6)),
+            })
+
+    out = ds.map_batches(PairFinder, batch_format="pyarrow",
+                         concurrency=concurrency).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

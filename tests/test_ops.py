@@ -1,0 +1,130 @@
+"""Tests for dedup / similarity / text / multimodal / window operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from katydid_haskell_ray.functions import codecs
+from katydid_haskell_ray.functions import text as TX
+from katydid_haskell_ray.stages import dedupe as DD
+from katydid_haskell_ray.stages import multimodal as MM
+from katydid_haskell_ray.stages import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+    texts = [f"unique document number {i} with words " +
+             " ".join(f"w{(i * 7 + j) % 50}" for j in range(20))
+             for i in range(100)]
+    # near-dups: 100..109 copy 0..9 with one appended token
+    ids = list(range(100)) + list(range(100, 110))
+    texts += [texts[i] + " extra" for i in range(10)]
+    # exact dups: 200..204 copy 20..24
+    ids += list(range(200, 205))
+    texts += [texts[i] for i in range(20, 25)]
+    return ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                         "text": pa.array(texts)}))
+
+
+def test_exact_dedupe(docs_ds):
+    kept = sorted(DD.exact_dedupe(docs_ds).to_pandas()["doc_id"])
+    assert len(kept) == 110  # 115 rows - 5 exact dups
+    assert all(k < 200 for k in kept)  # originals (min ids) survive
+
+
+def test_minhash_lsh_matches_bruteforce(docs_ds):
+    clusters, kept = DD.minhash_dedupe(docs_ds, threshold=0.5, concurrency=2)
+    texts = dict(zip(docs_ds.to_pandas()["doc_id"], docs_ds.to_pandas()["text"]))
+    brute = DD.ngram_jaccard_pairs_bruteforce(texts, threshold=0.5)
+    # every brute-force pair must land in the same LSH cluster
+    cl = dict(zip(clusters["id"], clusters["cluster"]))
+    missed = [(a, b) for a, b, _ in brute if cl.get(a, a) != cl.get(b, b)]
+    assert not missed, f"LSH missed {len(missed)}/{len(brute)} true pairs"
+    # exact + near dup copies must be dropped
+    assert all(i not in kept for i in range(200, 205))
+    assert all(i not in kept for i in range(100, 110))
+
+
+def test_simhash_pairs(docs_ds):
+    pairs = DD.simhash_near_pairs(docs_ds, max_hamming=6, concurrency=2)
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    # exact dups have identical simhash -> always found
+    for orig, copy in zip(range(20, 25), range(200, 205)):
+        assert (orig, copy) in got, (orig, copy)
+
+
+def test_knn_lsh_recall(ray_session, sf_dir):
+    import os
+    import ray.data
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    tab = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sel = tab[tab["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    qids, qvecs = sel["vec_id"].tolist(), np.stack(sel["embedding"].to_numpy())
+    brute = SIM.knn_topk(ds, qids, qvecs, k=5, concurrency=2)
+    approx = SIM.knn_topk_lsh(ds, qids, qvecs, k=5, concurrency=2,
+                              nbits=4, probe_hamming=2)
+    bset = set(zip(brute["query_id"], brute["vec_id"]))
+    aset = set(zip(approx["query_id"], approx["vec_id"]))
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.5, recall  # multi-probe LSH on random vectors
+    # self-hit must always survive bucketing
+    for q in qids:
+        assert (q, q) in aset
+
+
+def test_text_kernels():
+    s = pd.Series(["Hello big world", "", None, "  padded  text  "])
+    assert list(TX.token_count(s)) == [3, 0, 0, 2]
+    qm = TX.quality_metrics(s)
+    assert qm["n_chars"][0] == 15 and qm["n_tokens"][3] == 2
+    langs = TX.lang_id(pd.Series([
+        "the cat and the dog is in a house",
+        "der Hund ist nicht mit der Katze",
+        "le chat est dans la maison pour un jour",
+        "xyzzy plugh"]))
+    assert list(langs) == ["en", "de", "fr", "und"]
+    fp = TX.fingerprint64(pd.Series(["abcd efgh", "abcd efgh", "abcd efgx"]))
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_multimodal_image_ops():
+    from katydid_haskell_ray.sources import synth_images as SI
+    batch = SI.make_batch(0, 30)
+    out = MM.ImageOps(out_w=8, out_h=8, bins=8)(batch)
+    assert "bytes" not in out.column_names
+    oks = out.column("decode_ok").to_numpy(zero_copy_only=False)
+    assert oks.sum() >= 29  # only the corrupt row (i%1000==3) fails
+    feat = out.column("feat")
+    assert feat.type.list_size == 27
+    # thumbnails are decodable PNGs
+    thumb = out.column("thumb").to_pylist()[0]
+    assert codecs.decode_png(thumb).shape == (8, 8, 3)
+
+
+def test_multimodal_stubs_gated():
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"xxxx")
+    with pytest.raises(NotImplementedError):
+        MM.sample_video_frames(b"xxxx")
+    wave = MM.decode_audio(b"somebytes" * 100, allow_stub=True)
+    assert wave.shape == (1024,) and wave.dtype == np.float32
+    frames = MM.sample_video_frames(b"somebytes" * 200, n_frames=4,
+                                    allow_stub=True)
+    assert len(frames) == 4 and frames[0].shape == (8, 8, 3)
+    # deterministic
+    assert (MM.decode_audio(b"somebytes" * 100, allow_stub=True) == wave).all()
+
+
+def test_windowing(ray_session, sf_dir):
+    import os
+    import ray.data
+    from katydid_haskell_ray.stages import window as W
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    agg = W.tumbling_aggregate(ds, width_s=3600).to_pandas()
+    ref = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    assert agg["n_events"].sum() == len(ref)
+    sess = W.sessionize(ds, gap_s=1800).to_pandas()
+    assert sess["n_events"].sum() == len(ref)
+    assert (sess["session_end"] >= sess["session_start"]).all()

@@ -47,7 +47,7 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     """Encode an (h, w, 3) uint8 array as an 8-bit RGB PNG (filter type 0)."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_png expects (h, w, 3) uint8")
@@ -56,7 +56,7 @@ def encode_png(arr: np.ndarray) -> bytes:
     # one filter byte (0 = None) per scanline, vectorized
     raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
     raw[:, 1:] = arr.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), level)
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -110,6 +110,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise DecodeError("bad PNG payload size")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     filters = rows[:, 0]
+    if not filters.any():  # all filter 0 (our encoder's output): zero-copy slice
+        return rows[:, 1:].reshape(h, w, 3).copy()
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for y in range(h):
@@ -290,15 +292,15 @@ def phash64(arr: np.ndarray) -> int:
     """
     gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = gray.shape
-    # resample to 8x8 via index-based block means (works for any h, w >= 8)
+    # resample to 8x8 via index-based block means (works for any h, w >= 8);
+    # block sums via reduceat on both axes (vectorized)
     ys = (np.arange(8 + 1) * h) // 8
     xs = (np.arange(8 + 1) * w) // 8
-    cells = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    rows = np.add.reduceat(gray, ys[:-1], axis=0)
+    sums = np.add.reduceat(rows, xs[:-1], axis=1)
+    areas = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    cells = sums / areas
     bits = (cells > cells.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    val = np.bitwise_or.reduce(bits << shifts)
     return int(val.astype(np.int64))  # reinterpret as signed for Arrow int64

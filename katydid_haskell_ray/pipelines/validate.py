@@ -30,6 +30,36 @@ import time
 import pyarrow as pa
 import ray.data
 
+
+def _stub_fsspec_http():
+    """Ray's path resolution does ``from fsspec.implementations.http import
+    HTTPFileSystem`` per read; when aiohttp is absent that import fails with
+    ModuleNotFoundError every time, and two threads hitting the first import
+    simultaneously can observe a partially-initialized module (a plain
+    ImportError Ray does not catch).  Install a placeholder module once so
+    the import always succeeds and the isinstance check simply never
+    matches."""
+    import sys
+    import types
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        try:
+            import fsspec.implementations as fi
+        except ImportError:
+            return
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder; never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+        fi.http = mod
+
+
+_stub_fsspec_http()
+
 from katydid_haskell_ray.stages.constraint import FlatConstraints, extract_violations
 from katydid_haskell_ray.stages.decode import DecodeValidator
 from katydid_haskell_ray.stages import keys as K
@@ -72,24 +102,49 @@ def _input_files(path: str) -> list[str]:
     return [path]
 
 
+_DECODER_CACHE: dict = {}
+
+
+def _decode_fn(check_roundtrip: bool):
+    """Task-based decode stage; the validator is cached once per worker
+    process (the stateful-setup-amortization without an actor pool)."""
+    def f(batch):
+        dv = _DECODER_CACHE.get(check_roundtrip)
+        if dv is None:
+            dv = _DECODER_CACHE[check_roundtrip] = DecodeValidator(
+                check_roundtrip=check_roundtrip)
+        return dv(batch)
+    return f
+
+
 def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
-                    decode_concurrency: int | None = None,
+                    decode_concurrency=None,
                     check_roundtrip: bool = False,
-                    decode_batch_size: int = 512):
-    """Build the lazy verdict Dataset (read -> constraints -> decode)."""
+                    decode_batch_size: int = 2048):
+    """Build the lazy verdict Dataset (read -> constraints -> decode).
+
+    The decode pool autoscales (2, cpus-2): it gets the node when it's the
+    bottleneck but releases CPUs to the read/write stages as it drains, so
+    no stage starves (a fixed full-size pool serializes the write)."""
     ds = ray.data.read_parquet(images_path)
     ds = ds.map_batches(FlatConstraints(checks), batch_format="pyarrow")
     if decode_concurrency is None:
-        import ray as _ray
-        # decode dominates compute: size the pool to the node, leaving head-
-        # room for the read + write stages so the pipeline stays streaming
-        cpus = int(_ray.cluster_resources().get("CPU", 4))
-        decode_concurrency = max(2, cpus - 2)
-    ds = ds.map_batches(
-        DecodeValidator, fn_constructor_kwargs={"check_roundtrip": check_roundtrip},
-        batch_format="pyarrow", batch_size=decode_batch_size,
-        concurrency=decode_concurrency, num_cpus=1,
-    )
+        # stateless tasks on the warm worker pool: the decoder holds no real
+        # per-actor state (codecs are module functions cached per process),
+        # so tasks beat an actor pool — no pool spawn cost, fully elastic.
+        # Pass an int to force an actor pool (e.g. a real model-loading
+        # decoder would want one).
+        ds = ds.map_batches(
+            _decode_fn(check_roundtrip), batch_format="pyarrow",
+            batch_size=decode_batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            DecodeValidator,
+            fn_constructor_kwargs={"check_roundtrip": check_roundtrip},
+            batch_format="pyarrow", batch_size=decode_batch_size,
+            concurrency=decode_concurrency, num_cpus=1,
+        )
     check_cols = [f"check_{n}" for n, _ in checks] + [
         "check_decodes", "check_dims", "check_fmt_magic", "check_phash"]
     if check_roundtrip:
@@ -108,8 +163,15 @@ def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
     return ds.map_batches(finalize, batch_format="pyarrow")
 
 
+def _parquet_num_rows(files: list[str]) -> int:
+    """Row count from parquet footers — driver-side, no Ray job."""
+    import pyarrow.parquet as pq
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def run_validation(images_path: str, out_dir: str, *,
-                   checks=DEFAULT_CHECKS, n_shards: int = 4,
+                   checks=DEFAULT_CHECKS, n_shards: int | None = None,
+                   target_shard_bytes: int = 1 << 30,
                    resume: bool = True, profile: dict | None = None,
                    drift_threshold: float = 0.1,
                    check_roundtrip: bool = False,
@@ -119,57 +181,158 @@ def run_validation(images_path: str, out_dir: str, *,
     Resumable: re-invoking with the same out_dir skips shards whose manifest
     records are complete and recomputes the report from all shards' verdict
     parquet.
+
+    Shard sizing: by input BYTES (default 256 MiB per shard), not a fixed
+    count — at 100 TB that yields ~400k resumable units whose per-job fixed
+    cost amortizes; at test scale it collapses to 1-2 shards so fixed
+    overhead doesn't dominate.  ``n_shards`` overrides for tests.
     """
+    import pyarrow.parquet as pq
+
     t0 = time.time()
     files = _input_files(images_path)
+    if n_shards is None:
+        total = sum(os.path.getsize(f) for f in files)
+        n_shards = max(1, min(len(files), -(-total // target_shard_bytes)))
     shards = M.split_shards(files, n_shards)
     done = M.completed_shards(out_dir) if resume else {}
     os.makedirs(out_dir, exist_ok=True)
 
-    for sid, shard_files in enumerate(shards):
-        if sid in done:
-            continue
+    def run_shard(sid: int, shard_files: list[str]):
         started = time.time()
         M.clear_shard_output(out_dir, sid)
         vds = verdict_dataset(shard_files, checks,
                               decode_concurrency=decode_concurrency,
                               check_roundtrip=check_roundtrip)
         shard_out = M.shard_output_dir(out_dir, sid)
+        # one file per block: at production block size (128 MiB) files come
+        # out right-sized; forcing min_rows_per_file makes Ray coalesce the
+        # whole map+write into one serial task — never do that
         vds.write_parquet(shard_out)
-        # cheap columnar pass over the verdict parquet for counts
-        vparq = ray.data.read_parquet(shard_out, columns=["pass"])
-        n_rows = vparq.count()
-        n_fail = n_rows - int(vparq.sum("pass") or 0)
+        # counts from the shard's own output: rows from footers (free),
+        # fails from the tiny bool column read driver-side — no Ray job
+        out_files = _input_files(shard_out)
+        n_rows = _parquet_num_rows(out_files)
+        passed = pq.read_table(out_files, columns=["pass"]).column("pass")
+        n_fail = n_rows - int(passed.combine_chunks().sum().as_py() or 0)
         M.write_shard_record(out_dir, sid, input_files=shard_files,
                              n_rows=n_rows, n_violations=n_fail,
                              metrics={}, started=started)
 
+    # run shard jobs concurrently (bounded): the streaming executor fair-
+    # shares the cluster, so per-job fixed latency overlaps instead of
+    # accumulating serially; the manifest stays per-shard atomic
+    todo = [(sid, sf) for sid, sf in enumerate(shards) if sid not in done]
+    if len(todo) <= 1:
+        for sid, sf in todo:
+            run_shard(sid, sf)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
+            list(pool.map(lambda a: run_shard(*a), todo))
+
     # ---- table-level layer over all shards' verdict parquet ----
+    # ONE pass computes stats partials AND per-batch key counts; the tiny
+    # tagged partial stream is materialized once, then the stats merge
+    # (driver) and the uniqueness groupby (shuffle of partials only) both
+    # read from it — no re-read of the verdict parquet per check.
     verdict_glob = [f for sid in range(len(shards))
                     for f in _input_files(M.shard_output_dir(out_dir, sid))]
     meta_cols = ["image_id", "w", "h", "fmt", "phash", "pass"]
     vds = ray.data.read_parquet(verdict_glob, columns=meta_cols)
 
-    partials_tab = pa.concat_tables(list(vds.map_batches(
-        ST.StatsPartials(numeric=("w", "h"), keys=("image_id", "phash"),
-                         strings=("fmt",)),
-        batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
-    stats = ST.merge_partials(partials_tab)
+    stats_fn = ST.StatsPartials(numeric=("w", "h"), keys=("image_id", "phash"),
+                                strings=("fmt",))
 
-    dup_ids = K.duplicate_keys(vds, "image_id")
-    n_dup_ids = dup_ids.count()
-    dup_phash = K.duplicate_keys(vds, "phash")
-    hot = dup_phash.sort("dup_count", descending=True).take(5)
+    def combined(batch: pa.Table) -> pa.Table:
+        srows = stats_fn(batch)
+        srows = srows.append_column("kind", pa.array(["stat"] * srows.num_rows))
+        srows = srows.append_column("key", pa.nulls(srows.num_rows, pa.int64()))
+        srows = srows.append_column("cnt", pa.nulls(srows.num_rows, pa.int64()))
+        krows = []
+        for keycol in ("image_id", "phash"):
+            arr = batch.column(keycol)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = arr.drop_null()
+            # shuffle int64 hashes, not strings: dup DETECTION only needs
+            # key identity (64-bit collisions are negligible), and the
+            # integer groupby is much cheaper than a string one
+            if not pa.types.is_integer(arr.type):
+                import numpy as _np
+
+                from katydid_haskell_ray.state.sketches import hash64_array
+                arr = pa.array(hash64_array(arr).view(_np.int64))
+            vc = arr.value_counts()
+            krows.append(pa.table({
+                "kind": pa.array([keycol] * len(vc)),
+                "key": vc.field("values").cast(pa.int64()),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }))
+        ktab = pa.concat_tables(krows)
+        for name in srows.column_names:
+            if name not in ktab.column_names:
+                ktab = ktab.append_column(
+                    name, pa.nulls(ktab.num_rows, srows.schema.field(name).type))
+        return pa.concat_tables([srows, ktab.select(srows.column_names)])
+
+    # kick off the violations branch concurrently with the partials pass:
+    # both read the verdict parquet (pruned columns) and fair-share the
+    # cluster, overlapping their fixed latencies
+    import pyarrow.dataset as _pads
+    check_cols = [f.name for f in _pads.dataset(verdict_glob[0]).schema
+                  if f.name.startswith("check_")]
+
+    def run_violations():
+        import shutil
+        shutil.rmtree(os.path.join(out_dir, "violations"), ignore_errors=True)
+        vcols = ["image_id"] + check_cols
+        viol_in = ray.data.read_parquet(verdict_glob, columns=vcols)
+        viol_in.map_batches(lambda b: extract_violations(b),
+                            batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, "violations"))
+
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    with _TPE(max_workers=1) as _pool:
+        viol_fut = _pool.submit(run_violations)
+        partials = vds.map_batches(combined, batch_format="pyarrow").materialize()
+        viol_fut.result()
+
+    stats_rows = partials.filter(expr="kind == 'stat'").to_pandas()
+    stats = ST.merge_partials(pa.Table.from_pandas(
+        stats_rows.drop(columns=["kind", "key", "cnt"]), preserve_index=False))
+
+    # bucketed two-level dup aggregation (see stages.keys.duplicate_keys):
+    # coarse 64-bucket shuffle + pandas reduce per bucket — grouping on the
+    # raw key would hand the shuffle millions of groups
+    import pandas as _pd
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        b = (batch.column("key").to_numpy(zero_copy_only=False)
+             .view("uint64") % 64).astype("int32")
+        return batch.append_column("bucket", pa.array(b))
+
+    def _per_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
+        s = g.groupby(["kind", "key"], as_index=False)["cnt"].sum()
+        return s[s["cnt"] > 1].rename(columns={"cnt": "dup_count"})
+
+    key_counts = (partials.filter(expr="kind != 'stat'")
+                  .select_columns(["kind", "key", "cnt"])
+                  .map_batches(_bucket, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(_per_bucket, batch_format="pandas")).to_pandas()
+    dup_ids_df = key_counts[key_counts["kind"] == "image_id"]
+    n_dup_ids = len(dup_ids_df)
+    hot_df = (key_counts[key_counts["kind"] == "phash"]
+              .sort_values("dup_count", ascending=False).head(5))
+    hot = [{"phash": int(r["key"]), "dup_count": int(r["dup_count"])}
+           for _, r in hot_df.iterrows()]
 
     drift = (ST.drift_against(stats, profile, drift_threshold)
              if profile else None)
 
-    full = ray.data.read_parquet(verdict_glob)
-    viols = full.map_batches(lambda b: extract_violations(b),
-                             batch_format="pyarrow")
-    viols.write_parquet(os.path.join(out_dir, "violations"))
-    n_viol_rows = ray.data.read_parquet(
-        os.path.join(out_dir, "violations")).count()
+    n_viol_rows = _parquet_num_rows(
+        _input_files(os.path.join(out_dir, "violations")))
 
     n_rows = sum(r["n_rows"] for r in M.completed_shards(out_dir).values())
     n_fail = sum(r["n_violations"] for r in M.completed_shards(out_dir).values())
@@ -178,8 +341,7 @@ def run_validation(images_path: str, out_dir: str, *,
         "n_pass": n_rows - n_fail,
         "n_fail": n_fail,
         "n_dup_image_ids": n_dup_ids,
-        "hot_phash_top5": [{"phash": r["phash"], "dup_count": r["dup_count"]}
-                           for r in hot],
+        "hot_phash_top5": hot,
         "n_violation_rows": n_viol_rows,
         "stats": {c: {k: v for k, v in s.items() if k not in ("hll", "kll")}
                   for c, s in stats.items()},

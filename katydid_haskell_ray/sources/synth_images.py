@@ -161,6 +161,15 @@ def ensure_images_parquet(sf_name: str, root: str = "/tmp/graft_images") -> str:
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     n = n_rows_for_sf(sf_name)
+    if n >= 20_000:
+        # big table: fan generation out over Ray (the oracle only reads the
+        # small sf0.01 single file, so a directory is fine here)
+        import ray
+        if ray.is_initialized():
+            tmp = path + ".tmpdir"
+            synthesize_dataset(n).write_parquet(tmp)
+            os.replace(tmp, path)
+            return path
     tmp = path + ".tmp"
     with pq.ParquetWriter(tmp, SCHEMA) as writer:
         for lo in range(0, n, 4096):
@@ -182,9 +191,9 @@ def synthesize_dataset(n: int, parallelism: int = 0):
         rows = [make_row(int(i)) for i in ids]
         return pa.Table.from_pylist(rows, schema=SCHEMA)
 
-    kwargs = {"override_num_blocks": parallelism} if parallelism else {}
-    return ray.data.range(n, **kwargs).map_batches(
-        gen, batch_format="pyarrow", batch_size=2048
+    blocks = parallelism or max(32, n // 8192)  # ~8k rows (~10 MB) per file
+    return ray.data.range(n, override_num_blocks=blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=8192
     )
 
 

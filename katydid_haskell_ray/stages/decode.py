@@ -49,14 +49,19 @@ class DecodeValidator:
         dims_ok = (aw == w) and (ah == h)
         actual_ph = codecs.phash64(arr)
         if magic in codecs.LOSSY_FMTS:
-            from katydid_haskell_ray.state.sketches import hamming_distance64
-            phash_ok = int(hamming_distance64(actual_ph, phash)[0]) <= self.phash_tolerance
+            # scalar hamming via int.bit_count (no numpy array overhead)
+            d = ((actual_ph ^ phash) & 0xFFFFFFFFFFFFFFFF).bit_count()
+            phash_ok = d <= self.phash_tolerance
         else:
             phash_ok = actual_ph == phash
         rt_ok = True
         if self.check_roundtrip and magic in codecs.ENCODERS:
             try:
-                rt = codecs.decode_image(codecs.ENCODERS[magic](arr), magic)
+                if magic == "png":  # fast-compression re-encode: pixels identical
+                    enc = codecs.encode_png(arr, level=1)
+                else:
+                    enc = codecs.ENCODERS[magic](arr)
+                rt = codecs.decode_image(enc, magic)
                 if magic in codecs.LOSSY_FMTS:
                     rt_ok = codecs.psnr(arr, rt) >= self.psnr_db
                 else:

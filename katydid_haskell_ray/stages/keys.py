@@ -38,20 +38,56 @@ def partial_key_counts(key: str):
     return f
 
 
-def duplicate_keys(ds, key: str):
-    """Dataset -> Dataset of (key, dup_count) for keys appearing > 1 time."""
-    partials = ds.select_columns([key]).map_batches(
-        partial_key_counts(key), batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-    totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="dup_count"))
-    return totals.filter(expr="dup_count > 1")
+def _add_bucket(key: str, n_buckets: int):
+    def f(batch: pa.Table) -> pa.Table:
+        arr = batch.column(key)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        h = SK.hash64_array(arr) % np.uint64(n_buckets)
+        return batch.append_column("bucket", pa.array(h.astype(np.int32)))
+    return f
 
 
-def exact_distinct_count(ds, key: str) -> int:
-    """Exact distinct-key count via the same partial-counts pre-aggregation."""
+def duplicate_keys(ds, key: str, n_buckets: int = 64):
+    """Dataset -> Dataset of (key, dup_count) for keys appearing > 1 time.
+
+    Two-level: per-batch value_counts partials, then a shuffle keyed on a
+    COARSE hash bucket (n_buckets groups) with a vectorized pandas
+    aggregation inside each bucket.  Grouping directly on the key would give
+    the sort-based shuffle millions of distinct groups and per-group
+    overhead dominates; bucketing keeps the exchange identical in volume
+    but makes the reduce C-speed."""
+    import pandas as pd
+
     partials = ds.select_columns([key]).map_batches(
         partial_key_counts(key), batch_format="pyarrow")
-    return partials.groupby(key).count().count()
+    bucketed = partials.map_batches(_add_bucket(key, n_buckets),
+                                    batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(key, as_index=False)["cnt"].sum()
+        s = s[s["cnt"] > 1].rename(columns={"cnt": "dup_count"})
+        return s
+
+    return bucketed.groupby("bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+
+
+def exact_distinct_count(ds, key: str, n_buckets: int = 64) -> int:
+    """Exact distinct-key count via bucketed two-level aggregation."""
+    import pandas as pd
+
+    partials = ds.select_columns([key]).map_batches(
+        partial_key_counts(key), batch_format="pyarrow")
+    bucketed = partials.map_batches(_add_bucket(key, n_buckets),
+                                    batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g[key].nunique()]})
+
+    out = bucketed.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+    return int(out.to_pandas()["n"].sum())
 
 
 def build_bloom_from_dataset(ds, key: str, n_items_hint: int | None = None,

@@ -260,9 +260,13 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np
     return out.astype(np.int64)
 
 
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+
+
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized popcount of a uint64 array (byte-LUT)."""
-    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+    lut = _POPCOUNT_LUT
     x = x.astype(np.uint64, copy=False)
     out = np.zeros(x.shape, dtype=np.int64)
     for shift in range(0, 64, 8):

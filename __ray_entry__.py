@@ -58,6 +58,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": Q.knn_brute,
         "knn_lsh": Q.knn_lsh,                           # rows-only
         "cosine_pairs": Q.cosine_pairs,
+        # additional relational coverage
+        "docs_by_lang": Q.docs_by_lang,
+        "supplier_nation_rollup": Q.supplier_nation_rollup,
+        "top_orders_per_segment": Q.top_orders_per_segment,
+        "part_filter_like": Q.part_filter_like,
+        "events_props_valid": Q.events_props_valid,
+        "isprime_quantity": Q.isprime_quantity,
         # images (input_hint table)
         "images_stats": Q.images_stats,
         "images_uniqueness": Q.images_uniqueness,
@@ -191,6 +198,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.40
+        """,
+        "docs_by_lang": """
+            SELECT lang, source,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang, source
+        """,
+        "supplier_nation_rollup": """
+            SELECT r_name,
+                   CAST(SUM(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+                   COUNT(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_orders_per_segment": """
+            WITH j AS (
+                SELECT c_mktsegment, o_orderkey,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                          ORDER BY total_cents DESC, o_orderkey ASC) AS rank
+                FROM j
+            )
+            SELECT c_mktsegment, o_orderkey, total_cents,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 2
+        """,
+        "part_filter_like": """
+            SELECT p_partkey, p_brand, p_size FROM part
+            WHERE p_type LIKE '%O%' AND p_size IN (5, 15, 25)
+        """,
+        "events_props_valid": """
+            SELECT event_id,
+                   COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) >= 0
+                            AND CAST(json_extract(props, '$.k') AS BIGINT) < 90,
+                            FALSE) AS pass
+            FROM events
+        """,
+        "isprime_quantity": """
+            -- exact for the TPC-H quantity domain 1..50
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS BIGINT) IN
+                       (2,3,5,7,11,13,17,19,23,29,31,37,41,43,47) AS qty_prime
+            FROM lineitem
         """,
         "images_stats": " UNION ALL ".join(
             f"SELECT '{c}' AS col, COUNT(*) AS n, "

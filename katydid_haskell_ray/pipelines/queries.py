@@ -403,3 +403,154 @@ def images_features(sf_dir: str):
     return ds.map_batches(ImageOps, batch_format="pyarrow", batch_size=512,
                           concurrency=2).select_columns(
         ["image_id", "feat", "decode_ok"])
+
+
+# ---------------------------------------------------------------------------
+# additional relational coverage
+# ---------------------------------------------------------------------------
+
+
+def docs_by_lang(sf_dir: str):
+    """Rollup counts + char sums per (lang, source)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return grouped_sum(ds, ["lang", "source"], {"sum_chars": "n_chars"},
+                       count_as="n_docs")
+
+
+def supplier_nation_rollup(sf_dir: str):
+    """supplier ⋈ nation ⋈ region via a chained broadcast lookup ->
+    account-balance cents by region."""
+    nat = pd.read_parquet(_t(sf_dir, "nation"))
+    reg = pd.read_parquet(_t(sf_dir, "region"))
+    n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    r2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    class AddRegion:
+        def __init__(self):
+            self.map = ray.get(lookup_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b["r_name"] = b["s_nationkey"].map(self.map)
+            b["bal_cents"] = _cents(b["s_acctbal"].to_numpy())
+            return b[["r_name", "bal_cents"]]
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    return grouped_sum(sup.map_batches(AddRegion, batch_format="pandas",
+                                       concurrency=2),
+                       ["r_name"], {"bal_cents": "bal_cents"},
+                       count_as="n_suppliers")
+
+
+def top_orders_per_segment(sf_dir: str):
+    """Top-2 orders by price within each market segment (grouped top-k /
+    window-rank analog: groupby segment -> sorted head per group)."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class Prep:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b["c_mktsegment"] = b["o_custkey"].map(self.seg)
+            b["total_cents"] = _cents(b["o_totalprice"].to_numpy())
+            return b[["c_mktsegment", "o_orderkey", "total_cents"]]
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["total_cents", "o_orderkey"],
+                          ascending=[False, True]).head(2).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return (orders.map_batches(Prep, batch_format="pandas", concurrency=2)
+            .groupby("c_mktsegment").map_groups(top2, batch_format="pandas"))
+
+
+def part_filter_like(sf_dir: str):
+    """String-predicate pushdown: ECONOMY/PROMO parts in a size set
+    (match_substring + is_in kernels)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size", "p_brand"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.match_substring(b["p_type"], "O"),  # ECONOMY | PROMO
+                    pc.is_in(b["p_size"], value_set=pa.array([5, 15, 25],
+                                                             type=pa.int32())))
+        return b.filter(m).select(["p_partkey", "p_brand", "p_size"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def events_props_valid(sf_dir: str):
+    """Tree-derivative validation of the JSON props column, per row —
+    the Relapse grammar {"k": int in [0, 90)} evaluated by the memoized
+    Brzozowski automaton in an actor pool; oracle via DuckDB json_extract."""
+    from katydid_haskell_ray.stages.constraint import TreeConstraints
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    spec_doc = {"main": {"field": "k", "child": {"leaf": {
+        "func": "and", "args": [
+            {"func": "ge", "args": [{"var": "int"}, {"int": 0}]},
+            {"func": "lt", "args": [{"var": "int"}, {"int": 90}]},
+        ]}}}}
+    out = ds.map_batches(
+        TreeConstraints,
+        fn_constructor_args=(spec_doc, {"props_k": ("props", "json")}),
+        batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["event_id", "pass"])
+
+
+def _ensure_isprime():
+    """Register the isPrime example UDF (idempotent; called in each worker
+    process because the UDF registry is per-process state)."""
+    from katydid_haskell_ray.exprs import core as E
+
+    if "isPrime" not in E.UDFS:
+        def mk(args):
+            if len(args) != 1 or args[0].vtype != "int":
+                raise E.BuildError("isPrime: wants one int arg")
+            return E._mk_plain("isPrime", "bool", args)
+
+        def scalar(a):
+            if E.is_err(a):
+                return E.ERR
+            if a < 2:
+                return False
+            return all(a % d for d in range(2, int(a ** 0.5) + 1))
+
+        def vector(n, a):
+            va, ea = a
+            va = np.broadcast_to(np.asarray(va, dtype=np.int64), (n,))
+            if (va >= 121).any():  # sieve below only exhaustive for < 121
+                return E._vector_via_scalar(E.UDFS["isPrime"], n, [a], "bool")
+            out = np.ones(n, dtype=bool)
+            out[va < 2] = False
+            for d in (2, 3, 5, 7):
+                out &= (va == d) | (va % d != 0) | (va < 2)
+            if ea is not None:
+                out &= ~ea
+            return out, ea
+
+        E.register_udf("isPrime", mk, scalar, vector)
+
+
+def isprime_quantity(sf_dir: str):
+    """UDF surface (the MkFunc extension point, Relapse.hs:51-54): the
+    isPrime example UDF of the reference's test suite
+    (test/UserDefinedFuncs.hs:17-77) evaluated over lineitem quantities;
+    SQL oracle via an explicit prime list (exact for the 1..50 domain)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from katydid_haskell_ray.exprs import core as E
+        _ensure_isprime()  # registry is per-process: register in the worker
+        qty = pa.table({"q": b["l_quantity"].cast(pa.int64())})
+        e = E.func("isPrime", [E.var("int", "q")])
+        val, err = E.eval_vector(e, qty)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_linenumber": b["l_linenumber"],
+                         "qty_prime": pa.array(val)})
+
+    return ds.map_batches(f, batch_format="pyarrow")

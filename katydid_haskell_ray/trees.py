@@ -119,3 +119,38 @@ def row_to_forest(row: dict, schema: pa.Schema,
         typ = schema.field(name).type
         out.append(node("string", name, arrow_value_to_forest(row.get(name), typ)))
     return tuple(out)
+
+
+def _parse_text_label(s: str) -> Label:
+    """XML text/tag -> label: Int if it reads as an integer, else String
+    (/root/reference/src/Data/Katydid/Parser/Xml.hs:46-47 parseLabel)."""
+    t = s.strip()
+    if t and (t.lstrip("+-").isdigit()):
+        try:
+            return ("int", int(t))
+        except ValueError:
+            pass
+    return ("string", s)
+
+
+def xml_to_forest(text: str) -> tuple[Tree, ...]:
+    """decodeXML analog (/root/reference/src/Data/Katydid/Parser/Xml.hs):
+    element -> node labeled with the tag (numeric tags become Int), children
+    = child elements + non-empty text nodes (numeric text becomes Int).
+    Attributes are not emitted, matching the reference's behavior
+    (Xml.hs:41: attrs are an acknowledged TODO there)."""
+    import xml.etree.ElementTree as ET
+
+    def conv(el) -> Tree:
+        children: list[Tree] = []
+        if el.text and el.text.strip():
+            children.append((_parse_text_label(el.text), ()))
+        for ch in el:
+            children.append(conv(ch))
+            if ch.tail and ch.tail.strip():
+                children.append((_parse_text_label(ch.tail), ()))
+        return (_parse_text_label(el.tag), tuple(children))
+
+    # parse as a forest: wrap in a synthetic root, return its children
+    root = ET.fromstring(f"<_forest_>{text}</_forest_>")
+    return tuple(conv(ch) for ch in root)

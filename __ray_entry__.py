@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_dups": Q.images_phash_dups,
         "images_verdicts": Q.images_verdicts,
         "images_check_failures": Q.images_check_failures,
+        "images_caption_ref": Q.images_caption_ref,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
         "images_features": Q.images_features,            # rows-only (codec)
     }
@@ -264,4 +265,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, ({pass_expr}) AS pass FROM {_IMAGES}
         """,
         "images_check_failures": fail_counts,
+        "images_caption_ref": _caption_ref_sql(),
     }
+
+
+def _caption_ref_sql() -> str:
+    from katydid_haskell_ray.sources.synth_images import _VOCAB
+
+    vocab = ", ".join(f"'{w}'" for w in _VOCAB)
+    return f"""
+        SELECT image_id,
+               COALESCE(len(list_filter(string_split(caption, ' '),
+                                        x -> x NOT IN ({vocab}))) = 0,
+                        FALSE) AS ref_ok
+        FROM {_IMAGES}
+    """

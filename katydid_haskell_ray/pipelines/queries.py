@@ -554,3 +554,31 @@ def isprime_quantity(sf_dir: str):
                          "qty_prime": pa.array(val)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def images_caption_ref(sf_dir: str):
+    """Referential check: every caption token must be in the vocabulary
+    (broadcast exact-set semi-join; the Bloom variant in stages.keys serves
+    the at-scale path where the reference set doesn't fit the driver).
+    Token rule mirrors the SQL oracle exactly: split on single spaces,
+    empty tokens count as out-of-vocab, NULL caption fails."""
+    vocab = frozenset(SI._VOCAB)
+    vocab_ref = ray.put(vocab)
+
+    class RefCheck:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            toks = b["caption"].str.split(" ")  # NaN stays NaN
+            exploded = toks.explode()
+            bad = ~exploded.isin(self.vocab)
+            bad_per_row = bad.groupby(level=0).any()
+            ok = (~bad_per_row).reindex(b.index, fill_value=False)
+            ok &= b["caption"].notna()
+            return pd.DataFrame({"image_id": b["image_id"],
+                                 "ref_ok": ok.to_numpy(dtype=bool)})
+
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["image_id", "caption"])
+    return ds.map_batches(RefCheck, batch_format="pandas", concurrency=2)

@@ -18,7 +18,12 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-IMAGES_SF001 = "/tmp/graft_images/sf0.01/images.parquet"  # correctness sf
+def _images_sf001_path() -> str:
+    from katydid_haskell_ray.sources.synth_images import images_path_for_sf
+    return images_path_for_sf("sf0.01")
+
+
+IMAGES_SF001 = _images_sf001_path()  # correctness-gate table (sf0.01)
 
 
 def entry() -> Any:
@@ -70,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_uniqueness": Q.images_uniqueness,
         "images_phash_dups": Q.images_phash_dups,
         "images_verdicts": Q.images_verdicts,
+        "images_grammar_verdicts": Q.images_grammar_verdicts,
         "images_check_failures": Q.images_check_failures,
         "images_caption_ref": Q.images_caption_ref,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
@@ -266,6 +272,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "images_check_failures": fail_counts,
         "images_caption_ref": _caption_ref_sql(),
+        "images_grammar_verdicts": f"""
+            SELECT image_id,
+                   (COALESCE(image_id LIKE 'img-%', FALSE)
+                    AND COALESCE(octet_length(bytes) > 8, FALSE)
+                    AND COALESCE(w >= 1 AND w <= 16384, FALSE)
+                    AND COALESCE(h >= 1 AND h <= 16384, FALSE)
+                    AND COALESCE(fmt IN ('png', 'bmp', 'jpeg'), FALSE)
+                    AND COALESCE(caption <> '', FALSE)
+                    AND COALESCE(phash <> 0, FALSE)) AS pass
+            FROM {_IMAGES}
+        """,
     }
 
 

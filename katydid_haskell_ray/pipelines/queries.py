@@ -582,3 +582,51 @@ def images_caption_ref(sf_dir: str):
     ds = ray.data.read_parquet(images_parquet(sf_dir),
                                columns=["image_id", "caption"])
     return ds.map_batches(RefCheck, batch_format="pandas", concurrency=2)
+
+
+# Relapse grammar over the images table (the core katydid capability applied
+# to the primary table): interleave of per-column leaf patterns with boolean
+# closure, lowered to vectorized kernels by colplan (fallback: derivative).
+IMAGES_GRAMMAR = {"main": {"interleave": [
+    {"field": "image_id", "child": {"leaf": {"op": "^=", "value": {"string": "img-"}}}},
+    {"field": "bytes", "child": {"leaf": {
+        "func": "gt", "args": [{"func": "length", "args": [{"var": "bytes"}]},
+                               {"int": 8}]}}},
+    {"field": "w", "child": {"and": [
+        {"leaf": {"op": ">=", "value": {"int": 1}}},
+        {"leaf": {"op": "<=", "value": {"int": 16384}}},
+    ]}},
+    {"field": "h", "child": {"and": [
+        {"leaf": {"op": ">=", "value": {"int": 1}}},
+        {"leaf": {"op": "<=", "value": {"int": 16384}}},
+    ]}},
+    {"field": "fmt", "child": {"or": [
+        {"leaf": {"op": "==", "value": {"string": "png"}}},
+        {"leaf": {"op": "==", "value": {"string": "bmp"}}},
+        {"leaf": {"op": "==", "value": {"string": "jpeg"}}},
+    ]}},
+    {"field": "caption", "child": {"not": {"or": [
+        {"leaf": {"op": "==", "value": {"string": ""}}},
+        "empty",
+    ]}}},
+    {"field": "phash", "child": {"leaf": {"op": "!=", "value": {"int": 0}}}},
+]}}
+
+
+def images_grammar_verdicts(sf_dir: str):
+    """Per-row verdicts of IMAGES_GRAMMAR via the column-plan compiler
+    (colplan.lower_grammar); SQL oracle expresses the same semantics
+    directly.  Note the caption pattern: not(empty-string-leaf | Empty)
+    matches any non-empty caption AND exercises negation + the
+    null-as-empty-forest rule (null caption -> Empty matches -> not -> False)."""
+    from katydid_haskell_ray import colplan as CP
+    from katydid_haskell_ray import spec as S
+
+    ds = ray.data.read_parquet(images_parquet(sf_dir))
+
+    def f(b: pa.Table) -> pa.Table:
+        g = S.compile_spec(IMAGES_GRAMMAR)  # cheap; interning caches subterms
+        mask = CP.validate_batch(g, b)
+        return pa.table({"image_id": b["image_id"], "pass": pa.array(mask)})
+
+    return ds.map_batches(f, batch_format="pyarrow")

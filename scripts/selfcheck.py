@@ -84,8 +84,9 @@ def main():
             print(f"rows-only {name}: {len(got)} rows, cols={list(got.columns)}")
             n_rows_only += 1
             continue
-        sql = sql.replace("/tmp/graft_images/sf0.01/",
-                          f"/tmp/graft_images/{sf_name}/")
+        from katydid_haskell_ray.sources.synth_images import images_path_for_sf
+        sql = sql.replace(images_path_for_sf("sf0.01"),
+                          images_path_for_sf(sf_name))
         try:
             exp = canon(con.execute(sql).df())
         except Exception as e:  # noqa: BLE001

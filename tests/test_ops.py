@@ -128,3 +128,34 @@ def test_windowing(ray_session, sf_dir):
     sess = W.sessionize(ds, gap_s=1800).to_pandas()
     assert sess["n_events"].sum() == len(ref)
     assert (sess["session_end"] >= sess["session_start"]).all()
+
+
+def test_bloom_probe_stage(ray_session):
+    import pyarrow as pa
+    import ray as _ray
+    import ray.data
+    from katydid_haskell_ray.stages import keys as K
+    from katydid_haskell_ray.state import sketches as SK
+
+    vocab_keys = [f"tok{i}" for i in range(1000)]
+    bloom = SK.Bloom(1000, 1e-4).add_hashes(SK.hash64_array(vocab_keys))
+    ref = _ray.put(bloom)
+    tab = pa.table({"k": ["tok1", "tok999", "missing", None, "tok500"]})
+    out = ray.data.from_arrow(tab).map_batches(
+        K.BloomProbe, fn_constructor_args=(ref, "k"),
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(out["check_ref"]) == [True, True, False, False, True]
+
+
+def test_build_bloom_from_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from katydid_haskell_ray.stages import keys as K
+    from katydid_haskell_ray.state import sketches as SK
+
+    ds = ray.data.from_arrow(pa.table({"k": [f"v{i}" for i in range(5000)]}))
+    bloom = K.build_bloom_from_dataset(ds, "k")
+    hits = bloom.contains_hashes(SK.hash64_array([f"v{i}" for i in range(5000)]))
+    assert hits.all()
+    misses = bloom.contains_hashes(SK.hash64_array([f"x{i}" for i in range(5000)]))
+    assert misses.mean() < 0.02

@@ -261,7 +261,7 @@ def minhash_dedupe_docs(sf_dir: str):
     """Near-dup clusters over the augmented corpus (no SQL oracle — verified
     against the brute-force Jaccard oracle in tests)."""
     clusters, kept = DD.minhash_dedupe(
-        _augmented_docs(sf_dir), threshold=0.5, concurrency=2)
+        _augmented_docs(sf_dir), threshold=0.5, concurrency=None)
     return pa.table({"id": pa.array(clusters["id"], type=pa.int64()),
                      "cluster": pa.array(clusters["cluster"], type=pa.int64())})
 
@@ -270,7 +270,7 @@ def simhash_docs(sf_dir: str):
     """(doc_id, simhash) fingerprints (no SQL oracle — deterministic rows)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(DD.SimHashStage, batch_format="pyarrow",
-                          concurrency=2).select_columns(["doc_id", "simhash"])
+                          concurrency=4).select_columns(["doc_id", "simhash"])
 
 
 def langid_docs(sf_dir: str):

@@ -153,9 +153,16 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
+def _auto_concurrency(requested):
+    if requested is not None:
+        return requested
+    import ray
+    return max(2, min(8, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+
 def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                    k: int = 128, bands: int = 32, shingle: int = 3,
-                   threshold: float = 0.8, concurrency: int = 4):
+                   threshold: float = 0.8, concurrency: int | None = None):
     """Full MinHash-LSH near-dup pipeline; returns (clusters_df, kept_ids).
 
     clusters_df: pandas (id, cluster) for every doc in a near-dup cluster of
@@ -164,6 +171,7 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
     """
     import pandas as _pd
 
+    concurrency = _auto_concurrency(concurrency)
     rows_per_band = k // bands
     sigged = ds.map_batches(
         MinHashStage, fn_constructor_kwargs={"col": col, "k": k, "shingle": shingle},
@@ -173,35 +181,56 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                                 id_col=id_col),
         batch_format="pyarrow")
 
-    def bucket_pairs(group: _pd.DataFrame) -> _pd.DataFrame:
-        ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return _pd.DataFrame({"a": [], "b": []})
-        # anchor pairing (first vs rest) keeps candidate count linear in
-        # bucket size; transitive links come from other bands + union-find
-        return _pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
+    # groupby on (band, band_hash) directly would create ~n*bands mostly-
+    # singleton groups (per-group overhead dominates); shuffle on a COARSE
+    # 256-way bucket of the band hash and pair up within buckets using
+    # vectorized pandas — same exchange volume, C-speed reduce
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("band_hash").to_numpy(zero_copy_only=False)
+             .view(np.uint64) % 256).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
 
-    cand = band_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
+    def bucket_pairs(g: _pd.DataFrame) -> _pd.DataFrame:
+        # anchor pairing (min id vs rest) per LSH bucket keeps candidates
+        # linear in bucket size; transitive links come from other bands +
+        # union-find
+        g = g.sort_values(["band", "band_hash", id_col])
+        first = g.groupby(["band", "band_hash"])[id_col].transform("first")
+        hits = g[g[id_col] != first]
+        return _pd.DataFrame({"a": first[g[id_col] != first].to_numpy(),
+                              "b": hits[id_col].to_numpy()})
+
+    cand = (band_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+            ).to_pandas()
     cand = cand.drop_duplicates()
 
-    if len(cand):
-        # verify candidates with exact shingle Jaccard (small side: only
-        # candidate ids' texts are fetched)
-        cand_set = set(cand["a"]) | set(cand["b"])
-        texts = {}
-        for b in ds.map_batches(lambda t: t.select([id_col, col]),
-                                batch_format="pyarrow").iter_batches(
-                                    batch_size=8192, batch_format="pyarrow"):
-            for i, t in zip(b.column(id_col).to_pylist(),
-                            b.column(col).to_pylist()):
+    # ONE pass collects all ids (for the kept-set) AND candidate texts
+    # (small side: only candidate rows' text reaches the driver)
+    cand_set = set(cand["a"]) | set(cand["b"]) if len(cand) else set()
+    texts: dict = {}
+    all_ids: list = []
+    for b in ds.map_batches(lambda t: t.select([id_col, col]),
+                            batch_format="pyarrow").iter_batches(
+                                batch_size=8192, batch_format="pyarrow"):
+        ids = b.column(id_col).to_pylist()
+        all_ids.extend(ids)
+        if cand_set:
+            for i, t in zip(ids, b.column(col).to_pylist()):
                 if i in cand_set:
                     texts[i] = t
+
+    if len(cand):
+        shingle_cache = {i: set(word_shingles(t, shingle).tolist())
+                         for i, t in texts.items()}
         uf = _UnionFind()
         for a, b in zip(cand["a"], cand["b"]):
-            if jaccard(word_shingles(texts[a], shingle),
-                       word_shingles(texts[b], shingle)) >= threshold:
+            sa, sb = shingle_cache[a], shingle_cache[b]
+            union_n = len(sa | sb)
+            if union_n and len(sa & sb) / union_n >= threshold:
                 uf.union(a, b)
+            elif not union_n:
+                uf.union(a, b)  # both empty: Jaccard defined as 1
         roots = {i: uf.find(i) for i in uf.parent}
         clusters = _pd.DataFrame(
             {"id": list(roots), "cluster": [roots[i] for i in roots]})
@@ -210,7 +239,6 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
         clusters = _pd.DataFrame({"id": [], "cluster": []})
 
     drop = set(clusters.loc[clusters["id"] != clusters["cluster"], "id"])
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
     kept = sorted(set(all_ids) - drop)
     return clusters.sort_values("id").reset_index(drop=True), kept
 
@@ -257,21 +285,32 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
 
     import pandas as _pd
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # coarse bucket over (chunk, val) to avoid near-singleton groups
+        c = t.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((v + c * 65536) % 256).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
     def bucket_pairs(g: _pd.DataFrame) -> _pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        fps_ = g["simhash"].to_numpy()
-        if len(ids) < 2:
+        g = g.sort_values(["chunk", "val", id_col])
+        grp = g.groupby(["chunk", "val"])
+        first_id = grp[id_col].transform("first")
+        first_fp = grp["simhash"].transform("first")
+        rest = g[g[id_col] != first_id]
+        if not len(rest):
             return _pd.DataFrame({"a": [], "b": [], "hamming": []})
-        a_, b_, h_ = [], [], []
-        for i in range(1, len(ids)):
-            d = int(SK.hamming_distance64(fps_[0], fps_[i])[0])
-            if d <= max_hamming and ids[0] != ids[i]:
-                a_.append(ids[0]); b_.append(ids[i]); h_.append(d)
-        return _pd.DataFrame({"a": a_, "b": b_, "hamming": h_})
+        d = SK.hamming_distance64(first_fp[g[id_col] != first_id].to_numpy(),
+                                  rest["simhash"].to_numpy())
+        keep = d <= max_hamming
+        return _pd.DataFrame({
+            "a": first_id[g[id_col] != first_id].to_numpy()[keep],
+            "b": rest[id_col].to_numpy()[keep],
+            "hamming": d[keep].astype(np.int64)})
 
     pairs = fp.map_batches(chunk_rows, batch_format="pyarrow") \
-        .groupby(["chunk", "val"]).map_groups(bucket_pairs, batch_format="pandas") \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
         .to_pandas().drop_duplicates(subset=["a", "b"])
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
 

@@ -294,3 +294,78 @@ class MemDeriver:
 
     def cache_sizes(self) -> tuple[int, int]:
         return len(self._calls), len(self._returns)
+
+
+# ---------------------------------------------------------------------------
+# VPA-style evaluator — VpaDerive.hs:39-106
+# ---------------------------------------------------------------------------
+
+
+class VpaDeriver:
+    """The derivative algorithm reformulated as a Visibly Pushdown Automaton
+    over an (open, label, close) token stream (VpaDerive.hs:39-106): state =
+    pattern tuple, stack holds (parent state, zipper) frames.
+
+    Proof-of-concept that evaluation is a streaming automaton — the shape
+    that would consume nested Arrow offsets directly without materializing
+    trees (SURVEY.md §2.3).  All three memo tables (nullable per state,
+    calls, returns) are per-instance, mirroring the reference's
+    get/put-threaded maps.
+    """
+
+    __slots__ = ("g", "_calls", "_returns", "_nulls")
+
+    def __init__(self, g: P.Grammar):
+        self.g = g
+        self._calls: dict = {}
+        self._returns: dict = {}
+        self._nulls: dict = {}
+
+    def _nullable(self, state: tuple) -> tuple:
+        out = self._nulls.get(state)
+        if out is None:
+            out = self._nulls[state] = tuple(p.nullable for p in state)
+        return out
+
+    def _call(self, state: tuple, label) -> tuple:
+        ifs = self._calls.get(state)
+        if ifs is None:
+            ifs = self._calls[state] = calls(self.g, state)
+        childstate = tuple(eval_if_exprs(ifs, label))
+        return zippy(childstate)
+
+    def _return(self, parent: tuple, bits: tuple) -> tuple:
+        key = (parent, bits)
+        out = self._returns.get(key)
+        if out is None:
+            out = self._returns[key] = returns(self.g, parent, list(bits))
+        return out
+
+    @staticmethod
+    def tokens(forest):
+        """Flatten a forest to (kind, payload) VPA tokens."""
+        for label, children in forest:
+            yield ("open", label)
+            yield from VpaDeriver.tokens(children)
+            yield ("close", None)
+
+    def validate(self, forest) -> bool:
+        state: tuple = (self.g.main,)
+        stack: list = []
+        for kind, payload in self.tokens(forest):
+            if kind == "open":
+                if all(P.unescapable(p) for p in state):
+                    # short-circuit: absorb the whole subtree
+                    stack.append((state, None))
+                    continue
+                zstate, zipper = self._call(state, payload)
+                stack.append((state, zipper))
+                state = zstate
+            else:  # close
+                parent, zipper = stack.pop()
+                if zipper is None:
+                    state = parent  # short-circuited subtree
+                    continue
+                bits = tuple(unzipby(zipper, list(self._nullable(state))))
+                state = self._return(parent, bits)
+        return len(state) == 1 and state[0].nullable

@@ -584,33 +584,8 @@ def images_caption_ref(sf_dir: str):
     return ds.map_batches(RefCheck, batch_format="pandas", concurrency=2)
 
 
-# Relapse grammar over the images table (the core katydid capability applied
-# to the primary table): interleave of per-column leaf patterns with boolean
-# closure, lowered to vectorized kernels by colplan (fallback: derivative).
-IMAGES_GRAMMAR = {"main": {"interleave": [
-    {"field": "image_id", "child": {"leaf": {"op": "^=", "value": {"string": "img-"}}}},
-    {"field": "bytes", "child": {"leaf": {
-        "func": "gt", "args": [{"func": "length", "args": [{"var": "bytes"}]},
-                               {"int": 8}]}}},
-    {"field": "w", "child": {"and": [
-        {"leaf": {"op": ">=", "value": {"int": 1}}},
-        {"leaf": {"op": "<=", "value": {"int": 16384}}},
-    ]}},
-    {"field": "h", "child": {"and": [
-        {"leaf": {"op": ">=", "value": {"int": 1}}},
-        {"leaf": {"op": "<=", "value": {"int": 16384}}},
-    ]}},
-    {"field": "fmt", "child": {"or": [
-        {"leaf": {"op": "==", "value": {"string": "png"}}},
-        {"leaf": {"op": "==", "value": {"string": "bmp"}}},
-        {"leaf": {"op": "==", "value": {"string": "jpeg"}}},
-    ]}},
-    {"field": "caption", "child": {"not": {"or": [
-        {"leaf": {"op": "==", "value": {"string": ""}}},
-        "empty",
-    ]}}},
-    {"field": "phash", "child": {"leaf": {"op": "!=", "value": {"int": 0}}}},
-]}}
+# IMAGES_GRAMMAR lives in pipelines.validate (single source of truth)
+from katydid_haskell_ray.pipelines.validate import IMAGES_GRAMMAR  # noqa: E402
 
 
 def images_grammar_verdicts(sf_dir: str):

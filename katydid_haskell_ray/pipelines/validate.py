@@ -94,6 +94,35 @@ DEFAULT_CHECKS: list[tuple[str, dict]] = [
 
 VERDICT_KEEP = ["image_id", "w", "h", "fmt", "phash"]
 
+# Relapse grammar over the input_hint schema — evaluated per row via the
+# column-plan compiler inside the verdict pass (check_grammar column).
+# Interleave of per-column leaf patterns with boolean closure; the caption
+# pattern exercises negation + the null-as-empty-forest rule.
+IMAGES_GRAMMAR = {"main": {"interleave": [
+    {"field": "image_id", "child": {"leaf": {"op": "^=", "value": {"string": "img-"}}}},
+    {"field": "bytes", "child": {"leaf": {
+        "func": "gt", "args": [{"func": "length", "args": [{"var": "bytes"}]},
+                               {"int": 8}]}}},
+    {"field": "w", "child": {"and": [
+        {"leaf": {"op": ">=", "value": {"int": 1}}},
+        {"leaf": {"op": "<=", "value": {"int": 16384}}},
+    ]}},
+    {"field": "h", "child": {"and": [
+        {"leaf": {"op": ">=", "value": {"int": 1}}},
+        {"leaf": {"op": "<=", "value": {"int": 16384}}},
+    ]}},
+    {"field": "fmt", "child": {"or": [
+        {"leaf": {"op": "==", "value": {"string": "png"}}},
+        {"leaf": {"op": "==", "value": {"string": "bmp"}}},
+        {"leaf": {"op": "==", "value": {"string": "jpeg"}}},
+    ]}},
+    {"field": "caption", "child": {"not": {"or": [
+        {"leaf": {"op": "==", "value": {"string": ""}}},
+        "empty",
+    ]}}},
+    {"field": "phash", "child": {"leaf": {"op": "!=", "value": {"int": 0}}}},
+]}}
+
 
 def _input_files(path: str) -> list[str]:
     if os.path.isdir(path):
@@ -118,15 +147,28 @@ def _decode_fn(check_roundtrip: bool):
 
 
 def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
+                    grammar: dict | None = IMAGES_GRAMMAR,
                     decode_concurrency=None,
                     check_roundtrip: bool = False,
                     decode_batch_size: int = 2048):
-    """Build the lazy verdict Dataset (read -> constraints -> decode).
+    """Build the lazy verdict Dataset (read -> grammar+constraints -> decode).
+
+    ``grammar`` (a spec-DSL document) is validated per row via the
+    column-plan compiler (vectorized; automatic tree-path fallback) and
+    contributes a ``check_grammar`` column.
 
     The decode pool autoscales (2, cpus-2): it gets the node when it's the
     bottleneck but releases CPUs to the read/write stages as it drains, so
     no stage starves (a fixed full-size pool serializes the write)."""
     ds = ray.data.read_parquet(images_path)
+    if grammar is not None:
+        def grammar_check(batch: pa.Table) -> pa.Table:
+            from katydid_haskell_ray import colplan as CP
+            from katydid_haskell_ray import spec as SP
+            g = SP.compile_spec(grammar)  # interning makes re-compiles cheap
+            mask = CP.validate_batch(g, batch)
+            return batch.append_column("check_grammar", pa.array(mask))
+        ds = ds.map_batches(grammar_check, batch_format="pyarrow")
     ds = ds.map_batches(FlatConstraints(checks), batch_format="pyarrow")
     if decode_concurrency is None:
         # stateless tasks on the warm worker pool: the decoder holds no real
@@ -147,6 +189,8 @@ def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
         )
     check_cols = [f"check_{n}" for n, _ in checks] + [
         "check_decodes", "check_dims", "check_fmt_magic", "check_phash"]
+    if grammar is not None:
+        check_cols.append("check_grammar")
     if check_roundtrip:
         check_cols.append("check_roundtrip")
 

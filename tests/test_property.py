@@ -1,0 +1,98 @@
+"""Property-based cross-validation: plain, memoized, and VPA evaluators must
+agree on random grammars x random documents — the reference's all-algorithms-
+agree strategy (/root/reference/test/Suite.hs:46-61) with generated corpora
+instead of the golden testsuite (which is not vendored in the snapshot)."""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from katydid_haskell_ray import derive as D
+from katydid_haskell_ray import spec as S
+from katydid_haskell_ray import trees as T
+
+NAMES = ["a", "b", "c"]
+INTS = [0, 1, 5]
+STRS = ["x", "y"]
+
+
+def leaf_exprs():
+    return st.one_of(
+        st.just(True),
+        st.sampled_from([{"op": "==", "value": {"int": i}} for i in INTS]),
+        st.sampled_from([{"op": ">=", "value": {"int": i}} for i in INTS]),
+        st.sampled_from([{"op": "==", "value": {"string": s}} for s in STRS]),
+        st.sampled_from([{"op": "::", "value": {"int": 0}},
+                         {"op": "::", "value": {"string": ""}}]),
+        st.sampled_from([{"func": "not", "args": [
+            {"func": "eq", "args": [{"var": "int"}, {"int": i}]}]} for i in INTS]),
+    )
+
+
+def patterns(depth):
+    base = st.one_of(
+        st.just("empty"),
+        st.just("zany"),
+        st.builds(lambda e: {"leaf": e}, leaf_exprs()),
+        st.builds(lambda n, e: {"field": n, "child": {"leaf": e}},
+                  st.sampled_from(NAMES), leaf_exprs()),
+    )
+    if depth <= 0:
+        return base
+    sub = patterns(depth - 1)
+    return st.one_of(
+        base,
+        st.builds(lambda n, p: {"field": n, "child": p}, st.sampled_from(NAMES), sub),
+        st.builds(lambda ps: {"or": ps}, st.lists(sub, min_size=2, max_size=3)),
+        st.builds(lambda ps: {"and": ps}, st.lists(sub, min_size=2, max_size=3)),
+        st.builds(lambda p: {"not": p}, sub),
+        st.builds(lambda ps: {"concat": ps}, st.lists(sub, min_size=2, max_size=3)),
+        st.builds(lambda ps: {"interleave": ps}, st.lists(sub, min_size=2, max_size=2)),
+        st.builds(lambda p: {"star": p}, sub),
+        st.builds(lambda p: {"optional": p}, sub),
+        st.builds(lambda p: {"contains": p}, sub),
+    )
+
+
+def json_values(depth):
+    base = st.one_of(st.sampled_from(INTS), st.sampled_from(STRS),
+                     st.booleans(), st.none(), st.just(2.5))
+    if depth <= 0:
+        return base
+    sub = json_values(depth - 1)
+    return st.one_of(
+        base,
+        st.lists(sub, max_size=3),
+        st.dictionaries(st.sampled_from(NAMES), sub, max_size=3),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(pat=patterns(2), doc=json_values(2))
+def test_all_evaluators_agree(pat, doc):
+    try:
+        g = S.compile_spec({"main": pat})
+    except S.SpecError:
+        return  # e.g. malformed combinator list; construction parity only
+    forest = T.json_value_to_forest(doc)
+    plain = D.validate_forest(g, forest)
+    memo = D.MemDeriver(g).validate(forest)
+    vpa = D.VpaDeriver(g).validate(forest)
+    assert plain == memo == vpa, (
+        f"disagreement on {json.dumps(pat)} / {doc!r}: "
+        f"plain={plain} memo={memo} vpa={vpa}")
+
+
+@settings(max_examples=60, deadline=None)
+@given(pat=patterns(1), docs=st.lists(json_values(2), min_size=1, max_size=6))
+def test_memo_reuse_across_documents(pat, docs):
+    """One warm MemDeriver over many docs equals fresh evaluation per doc
+    (the shared-Mem filter path, Relapse.hs:65-70)."""
+    try:
+        g = S.compile_spec({"main": pat})
+    except S.SpecError:
+        return
+    m = D.MemDeriver(g)
+    warm = [m.validate(T.json_value_to_forest(d)) for d in docs]
+    cold = [D.MemDeriver(g).validate(T.json_value_to_forest(d)) for d in docs]
+    assert warm == cold

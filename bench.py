@@ -45,11 +45,15 @@ def run_bench() -> dict:
     # bench corpus: sf * 20M rows (FIXTURES.md: 1M+ at the scaling sf, sized
     # so per-row compute dominates fixed pipeline latency at both levels);
     # includes the round-trip PSNR>=40dB per-row invariant (input_hint)
-    n_images = max(1000, int(sf * 20_000_000))
+    n_images = int(os.environ.get("GRAFT_BENCH_ROWS", 0)) or max(
+        1000, int(sf * 20_000_000))
     img_dir = SI.ensure_bench_images(n_images)  # cached across runs/levels
 
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # warm the page cache AND spawn the full worker pool before timing so
+    # we measure compute+shuffle, not first disk read / process forks
     ray.data.read_parquet(img_dir).count()
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
 
     out_dir = f"/tmp/graft_bench_out/{sf_name}_{num_cpus}_{int(time.time())}"
     t0 = time.time()
@@ -71,10 +75,12 @@ def run_bench() -> dict:
         return res
 
     times: dict[str, float] = {}
-    for name in ("q1_lineitem_agg", "q3_join_revenue", "events_windowed",
-                 "events_sessions", "doc_token_stats", "exact_dedupe_docs",
-                 "minhash_dedupe_docs", "knn_brute", "images_verdicts",
-                 "images_uniqueness"):
+    query_names = () if os.environ.get("GRAFT_HEADLINE_ONLY") else (
+        "q1_lineitem_agg", "q3_join_revenue", "events_windowed",
+        "events_sessions", "doc_token_stats", "exact_dedupe_docs",
+        "minhash_dedupe_docs", "knn_brute", "images_verdicts",
+        "images_uniqueness")
+    for name in query_names:
         fn = getattr(Q, name)
         t = time.time()
         consume(fn(sf_dir))
@@ -102,9 +108,25 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
     both levels on dedicated physical cores — the faithful analog of the
     north rule's N -> 4N *nodes*.  Pass --pair=8,32 to measure the HT pair.
     """
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
+    # pre-generate the corpus ONCE at full machine width so neither child
+    # pays synthesis; both children then read the identical cached input
+    n_rows = int(os.environ.get("GRAFT_BENCH_ROWS", 0)) or max(
+        1000, int(sf * 20_000_000))
+    import ray
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from katydid_haskell_ray.sources.synth_images import ensure_bench_images
+    ensure_bench_images(n_rows)
+    ray.shutdown()
+    time.sleep(3)
+
     out = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_HEADLINE_ONLY="1",
+                   GRAFT_BENCH_ROWS=str(n_rows))
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True,
                               check=True)

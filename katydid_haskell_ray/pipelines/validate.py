@@ -272,7 +272,9 @@ def run_validation(images_path: str, out_dir: str, *,
             run_shard(sid, sf)
     else:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
+        # pool covers all pending shards (cap 8): a pool smaller than the
+        # shard count leaves a straggler running alone after the wave
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
             list(pool.map(lambda a: run_shard(*a), todo))
 
     # ---- table-level layer over all shards' verdict parquet ----
@@ -282,18 +284,38 @@ def run_validation(images_path: str, out_dir: str, *,
     # read from it — no re-read of the verdict parquet per check.
     verdict_glob = [f for sid in range(len(shards))
                     for f in _input_files(M.shard_output_dir(out_dir, sid))]
-    meta_cols = ["image_id", "w", "h", "fmt", "phash", "pass"]
+    import pyarrow.dataset as _pads
+    check_cols = [f.name for f in _pads.dataset(verdict_glob[0]).schema
+                  if f.name.startswith("check_")]
+    meta_cols = ["image_id", "w", "h", "fmt", "phash", "pass"] + check_cols
     vds = ray.data.read_parquet(verdict_glob, columns=meta_cols)
 
     stats_fn = ST.StatsPartials(numeric=("w", "h"), keys=("image_id", "phash"),
                                 strings=("fmt",))
 
     def combined(batch: pa.Table) -> pa.Table:
-        srows = stats_fn(batch)
-        srows = srows.append_column("kind", pa.array(["stat"] * srows.num_rows))
-        srows = srows.append_column("key", pa.nulls(srows.num_rows, pa.int64()))
-        srows = srows.append_column("cnt", pa.nulls(srows.num_rows, pa.int64()))
-        krows = []
+        """One pass -> a SLIM tagged partial stream: the key-count rows
+        (~one per distinct key per batch) carry only (kind, key:int64, cnt);
+        the few stats rows ride along as pickled blobs.  The stream schema
+        must stay thin — it is ~n_rows long for high-cardinality keys and
+        everything after this flows through the shuffle."""
+        import io
+        import pickle
+
+        srows_tab = stats_fn(batch)
+        blob = pickle.dumps(srows_tab.to_pylist(), protocol=5)
+        # violation rows ride along as one IPC blob per batch: saves a full
+        # re-read of the verdict parquet for the violations sink
+        viol_tab = extract_violations(batch)
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, viol_tab.schema) as wr:
+            wr.write_table(viol_tab)
+        parts = [pa.table({
+            "kind": pa.array(["stat", "viol"]),
+            "key": pa.nulls(2, pa.int64()),
+            "cnt": pa.nulls(2, pa.int64()),
+            "blob": pa.array([blob, sink.getvalue()], type=pa.binary()),
+        })]
         for keycol in ("image_id", "phash"):
             arr = batch.column(keycol)
             if isinstance(arr, pa.ChunkedArray):
@@ -308,43 +330,39 @@ def run_validation(images_path: str, out_dir: str, *,
                 from katydid_haskell_ray.state.sketches import hash64_array
                 arr = pa.array(hash64_array(arr).view(_np.int64))
             vc = arr.value_counts()
-            krows.append(pa.table({
+            parts.append(pa.table({
                 "kind": pa.array([keycol] * len(vc)),
                 "key": vc.field("values").cast(pa.int64()),
                 "cnt": vc.field("counts").cast(pa.int64()),
+                "blob": pa.nulls(len(vc), pa.binary()),
             }))
-        ktab = pa.concat_tables(krows)
-        for name in srows.column_names:
-            if name not in ktab.column_names:
-                ktab = ktab.append_column(
-                    name, pa.nulls(ktab.num_rows, srows.schema.field(name).type))
-        return pa.concat_tables([srows, ktab.select(srows.column_names)])
+        return pa.concat_tables(parts)
 
-    # kick off the violations branch concurrently with the partials pass:
-    # both read the verdict parquet (pruned columns) and fair-share the
-    # cluster, overlapping their fixed latencies
-    import pyarrow.dataset as _pads
-    check_cols = [f.name for f in _pads.dataset(verdict_glob[0]).schema
-                  if f.name.startswith("check_")]
+    partials = vds.map_batches(combined, batch_format="pyarrow").materialize()
 
-    def run_violations():
-        import shutil
-        shutil.rmtree(os.path.join(out_dir, "violations"), ignore_errors=True)
-        vcols = ["image_id"] + check_cols
-        viol_in = ray.data.read_parquet(verdict_glob, columns=vcols)
-        viol_in.map_batches(lambda b: extract_violations(b),
-                            batch_format="pyarrow").write_parquet(
-            os.path.join(out_dir, "violations"))
+    # violations sink: unpack the IPC blobs from the materialized partial
+    # stream (no second scan of the verdict parquet)
+    import shutil as _shutil
+    _shutil.rmtree(os.path.join(out_dir, "violations"), ignore_errors=True)
 
-    from concurrent.futures import ThreadPoolExecutor as _TPE
-    with _TPE(max_workers=1) as _pool:
-        viol_fut = _pool.submit(run_violations)
-        partials = vds.map_batches(combined, batch_format="pyarrow").materialize()
-        viol_fut.result()
+    def unpack_viols(batch: pa.Table) -> pa.Table:
+        import io as _io
+        tabs = [pa.ipc.open_stream(_io.BytesIO(b)).read_all()
+                for b in batch.column("blob").to_pylist()]
+        if not tabs:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "check": pa.array([], type=pa.string())})
+        return pa.concat_tables(tabs)
 
-    stats_rows = partials.filter(expr="kind == 'stat'").to_pandas()
-    stats = ST.merge_partials(pa.Table.from_pandas(
-        stats_rows.drop(columns=["kind", "key", "cnt"]), preserve_index=False))
+    (partials.filter(expr="kind == 'viol'").select_columns(["blob"])
+     .map_batches(unpack_viols, batch_format="pyarrow")
+     .write_parquet(os.path.join(out_dir, "violations")))
+
+    import pickle as _pickle
+    blob_rows = partials.filter(expr="kind == 'stat'").to_pandas()["blob"]
+    stat_dicts = [r for blob in blob_rows for r in _pickle.loads(blob)]
+    stats = ST.merge_partials(pa.Table.from_pylist(stat_dicts,
+                                                   schema=ST.PARTIAL_SCHEMA))
 
     # bucketed two-level dup aggregation (see stages.keys.duplicate_keys):
     # coarse 64-bucket shuffle + pandas reduce per bucket — grouping on the
@@ -362,6 +380,9 @@ def run_validation(images_path: str, out_dir: str, *,
 
     key_counts = (partials.filter(expr="kind != 'stat'")
                   .select_columns(["kind", "key", "cnt"])
+                  .map_batches(lambda b: b.filter(
+                      pa.compute.is_valid(b.column("key"))),
+                      batch_format="pyarrow")
                   .map_batches(_bucket, batch_format="pyarrow")
                   .groupby("bucket")
                   .map_groups(_per_bucket, batch_format="pandas")).to_pandas()

@@ -1,0 +1,111 @@
+"""Concrete Relapse syntax parser tests, shapes from the reference's
+~100-case parser suite (/root/reference/test/ParserSpec.hs:56-350)."""
+
+import pytest
+
+from katydid_haskell_ray import derive as D
+from katydid_haskell_ray import relapse_parser as RP
+from katydid_haskell_ray import trees as T
+from katydid_haskell_ray.exprs import core as E
+
+
+def v(src, doc_json):
+    g = RP.compile_relapse(src)
+    return D.MemDeriver(g).validate(T.json_to_forest(doc_json))
+
+
+def test_atoms():
+    assert v("*", '{"anything": 1}')
+    assert v("<empty>", "null")  # empty forest
+    assert not v("<empty>", "5")
+    assert not v("!(*)", "{}") and not v("!(*)", "5")
+
+
+def test_person_page195():
+    src = "Person:{Name:*;(Addr:*)?;(Email:*)*}"
+    assert v(src, '{"Person": {"Name": "ann"}}')
+    assert v(src, '{"Person": {"Addr": "x", "Name": "ann"}}')
+    assert v(src, '{"Person": {"Name": "a", "Email": ["e1", "e2"]}}')
+    assert not v(src, '{"Person": {"Phone": 1}}')
+    assert not v(src, '{"Person": {}}')
+
+
+def test_builtin_leaves():
+    assert v("a:== 1", '{"a": 1}')
+    assert not v("a:== 1", '{"a": 2}')
+    assert v('a:~= "^c.t$"', '{"a": "cat"}')
+    assert not v('a:~= "^c.t$"', '{"a": "dog"}')
+    assert v('a :: $string', '{"a": "s"}')
+    assert not v('a :: $string', '{"a": 5}')
+    # name-direct builtin sugar (A == "x")
+    assert v('a == "x"', '{"a": "x"}')
+    assert not v('a == "x"', '{"a": "y"}')
+    assert v("a -> eq($int, 3)", '{"a": 3}')
+    assert v("a:>= 10", '{"a": 11}')
+    assert v('a:^= "pre"', '{"a": "prefix"}')
+    # literal bases: hex and octal (ParserSpec int cases)
+    assert v("a:== 0xff", '{"a": 255}')
+    assert v("a:== 017", '{"a": 15}')
+    assert v("a:== -5", '{"a": -5}')
+    assert v("a:== 2.5", '{"a": 2.5}')
+    assert v("a:== true", '{"a": true}')
+
+
+def test_arrow_function_leaves():
+    assert v("a:->eq($int, 1)", '{"a": 1}')
+    assert not v("a:->eq($int, 1)", '{"a": 2}')
+    # error-as-value through the concrete syntax too: not(eq) of a
+    # type-mismatch is True
+    assert v("a:->not(eq($int, 1))", '{"a": "x"}')
+
+
+def test_combinators():
+    assert v("[a:*,b:*]", '{"a": 1, "b": 2}')
+    assert not v("[a:*,b:*]", '{"b": 2, "a": 1}')
+    assert v("{a:*;b:*}", '{"b": 2, "a": 1}')
+    assert v("(a:*|b:*)", '{"b": 1}')
+    assert v("(*&a:*)", '{"a": 1}')
+    assert v("(a:*)*", "{}")
+    assert v("(a:*)*", '{"a": 1}')
+    assert v(".b:*", '{"a": 0, "b": 1, "c": 2}')
+    assert not v(".b:*", '{"a": 0}')
+    assert v("_:*", '{"whatever": 1}')
+    assert not v("_:*", "{}")
+
+
+def test_references_and_decls():
+    src = "#main = @val #val = (a:*|b:*)"
+    assert v(src, '{"a": 1}') and v(src, '{"b": 1}')
+    assert not v(src, '{"c": 1}')
+    # main as bare leading pattern + extra decls
+    src2 = "@x #x = a:== 1"
+    assert v(src2, '{"a": 1}')
+
+
+def test_comments_and_whitespace():
+    src = "/* block */ Person : { Name:* ; (Addr:*)? } // line\n"
+    assert v(src, '{"Person": {"Name": "x"}}')
+
+
+def test_bytes_literals():
+    g = RP.parse("a:== []byte{46, 0x2E, '\\x2E'}")
+    leaf = g["main"]["child"]["leaf"]
+    import base64
+    assert base64.b64decode(leaf["value"]["bytes"].removeprefix("base64:")) == b"..."
+
+
+def test_parse_errors():
+    for bad in ["(", "[]", "{a:*;", "a:", "#main", "/*bla", "@", "(a:*|b:*&c:*)"]:
+        with pytest.raises(RP.RelapseSyntaxError):
+            RP.parse(bad)
+
+
+def test_parses_match_json_dsl():
+    """The concrete-syntax path and the JSON-DSL path must compile to the
+    SAME interned grammar object for equivalent inputs."""
+    from katydid_haskell_ray import spec as S
+    g1 = RP.compile_relapse("Person:{Name:*;(Addr:*)?}")
+    g2 = S.compile_spec({"main": {"field": "Person", "child": {"interleave": [
+        {"field": "Name", "child": "zany"},
+        {"optional": {"field": "Addr", "child": "zany"}}]}}})
+    assert g1.main is g2.main  # hash-consing: identical structure, same object

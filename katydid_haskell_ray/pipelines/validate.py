@@ -259,9 +259,12 @@ def run_validation(images_path: str, out_dir: str, *,
         n_rows = _parquet_num_rows(out_files)
         passed = pq.read_table(out_files, columns=["pass"]).column("pass")
         n_fail = n_rows - int(passed.combine_chunks().sum().as_py() or 0)
+        wall = time.time() - started
         M.write_shard_record(out_dir, sid, input_files=shard_files,
                              n_rows=n_rows, n_violations=n_fail,
-                             metrics={}, started=started)
+                             metrics={"rows_per_sec": round(n_rows / max(wall, 1e-9), 1),
+                                      "n_output_files": len(out_files)},
+                             started=started)
 
     # run shard jobs concurrently (bounded): the streaming executor fair-
     # shares the cluster, so per-job fixed latency overlaps instead of

@@ -96,3 +96,63 @@ def test_memo_reuse_across_documents(pat, docs):
     warm = [m.validate(T.json_value_to_forest(d)) for d in docs]
     cold = [D.MemDeriver(g).validate(T.json_value_to_forest(d)) for d in docs]
     assert warm == cold
+
+
+# -- colplan fragment: lowered plan vs row-as-forest oracle ------------------
+
+import numpy as np
+import pyarrow as pa
+
+from katydid_haskell_ray import colplan as CP
+
+_COLS = {"w": "int", "fmt": "string", "flag": "bool"}
+
+
+def _flat_table():
+    return pa.table({
+        "w": pa.array([0, 1, 5, None], type=pa.int64()),
+        "fmt": pa.array(["x", "y", None, "x"]),
+        "flag": pa.array([True, None, False, True]),
+    })
+
+
+def leaf_for(col):
+    t = _COLS[col]
+    if t == "int":
+        consts = [{"int": i} for i in INTS]
+    elif t == "string":
+        consts = [{"string": s} for s in STRS]
+    else:
+        consts = [{"bool": True}, {"bool": False}]
+    return st.one_of(
+        st.just("zany"),
+        st.just("empty"),
+        st.sampled_from([{"leaf": {"op": "==", "value": c}} for c in consts]),
+        st.sampled_from([{"not": {"leaf": {"op": "==", "value": c}}}
+                         for c in consts]),
+        st.sampled_from([{"or": [{"leaf": {"op": "==", "value": c}}, "empty"]}
+                         for c in consts]),
+    )
+
+
+def flat_grammars():
+    def build(leaves):
+        fields = [{"field": c, "child": lf} for c, lf in zip(_COLS, leaves)]
+        return {"main": {"interleave": fields + [{"star": "zany"}]}}
+    return st.builds(build, st.tuples(*[leaf_for(c) for c in _COLS]))
+
+
+@settings(max_examples=120, deadline=None)
+@given(doc=flat_grammars())
+def test_colplan_matches_tree_oracle(doc):
+    g = S.compile_spec(doc)
+    b = _flat_table()
+    try:
+        plan = CP.lower_grammar(g, b.schema)
+    except CP.NotLowerable:
+        return  # e.g. whole grammar folded to emptyset
+    got = CP.evaluate_plan(plan, b)
+    m = D.MemDeriver(g)
+    exp = np.array([m.validate(T.row_to_forest(r, b.schema))
+                    for r in b.to_pylist()])
+    assert (got == exp).all(), f"{doc}: {got} != {exp}"

@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_filter_like": Q.part_filter_like,
         "events_props_valid": Q.events_props_valid,
         "isprime_quantity": Q.isprime_quantity,
+        "order_priority_revenue": Q.order_priority_revenue,
+        "events_asof_order": Q.events_asof_order,
         # images (input_hint table)
         "images_stats": Q.images_stats,
         "images_uniqueness": Q.images_uniqueness,
@@ -253,6 +255,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_quantity AS BIGINT) IN
                        (2,3,5,7,11,13,17,19,23,29,31,37,41,43,47) AS qty_prime
             FROM lineitem
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "events_asof_order": """
+            WITH od AS (SELECT DISTINCT CAST(epoch(o_orderdate) AS BIGINT) AS d
+                        FROM orders),
+                 ev AS (SELECT event_id, CAST(epoch(ts) AS BIGINT) AS ts_s
+                        FROM events)
+            SELECT ev.event_id,
+                   (SELECT MAX(d) FROM od WHERE od.d <= ev.ts_s) AS last_order_s
+            FROM ev
         """,
         "images_stats": " UNION ALL ".join(
             f"SELECT '{c}' AS col, COUNT(*) AS n, "

@@ -605,3 +605,51 @@ def images_grammar_verdicts(sf_dir: str):
         return pa.table({"image_id": b["image_id"], "pass": pa.array(mask)})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def order_priority_revenue(sf_dir: str):
+    """lineitem ⋈ orders — BOTH sides large, so a partitioned hash join
+    (bucketed shuffle + per-bucket pandas merge; stages/join.py) — then
+    revenue by order priority."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_line(b: pd.DataFrame) -> pd.DataFrame:
+        b["disc_cents"] = _cents(
+            b["l_extendedprice"].to_numpy() * (1 - b["l_discount"].to_numpy()))
+        return b[["l_orderkey", "disc_cents"]]
+
+    line = line.map_batches(prep_line, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+    joined = hash_join(line, orders, key="l_orderkey",
+                       left_cols=["disc_cents"],
+                       right_cols=["o_orderpriority"])
+    return grouped_sum(joined, ["o_orderpriority"],
+                       {"revenue_cents": "disc_cents"}, count_as="n_items")
+
+
+def events_asof_order(sf_dir: str):
+    """As-of join: for each event, the latest order date <= its timestamp
+    (broadcast sorted timeline + vectorized searchsorted; stages/join.py).
+    Oracle: DuckDB ASOF JOIN."""
+    from katydid_haskell_ray.stages.join import asof_lookup
+
+    odates = pd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"])
+    timeline = np.unique(odates["o_orderdate"].astype("int64").to_numpy()
+                         // 1_000_000)
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def to_epoch(b: pa.Table) -> pa.Table:
+        s = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        return pa.table({"event_id": b["event_id"],
+                         "ts_s": pa.array(s, type=pa.int64())})
+
+    prepped = ds.map_batches(to_epoch, batch_format="pyarrow")
+    out = asof_lookup(prepped, ts_col="ts_s", timeline=timeline,
+                      out_col="last_order_s")
+    return out.select_columns(["event_id", "last_order_s"])

@@ -159,3 +159,37 @@ def test_build_bloom_from_dataset(ray_session):
     assert hits.all()
     misses = bloom.contains_hashes(SK.hash64_array([f"x{i}" for i in range(5000)]))
     assert misses.mean() < 0.02
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from katydid_haskell_ray.stages.join import hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 2, 3, 5], type=pa.int64()),
+                     "lv": pa.array([10, 20, 21, 30, 50], type=pa.int64())})
+    right = pa.table({"k": pa.array([2, 3, 3, 4], type=pa.int64()),
+                      "rv": pa.array(["b", "c", "c2", "d"])})
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key="k", left_cols=["lv"], right_cols=["rv"],
+                    n_buckets=4).to_pandas()
+    exp = left.to_pandas().merge(right.to_pandas(), on="k")
+    out_s = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    exp_s = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out_s[["k", "lv", "rv"]].astype({"k": "int64", "lv": "int64"}),
+                                  exp_s[["k", "lv", "rv"]])
+
+
+def test_asof_lookup(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from katydid_haskell_ray.stages.join import asof_lookup
+
+    timeline = np.array([100, 200, 300], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "t": pa.array([50, 100, 250, 999], type=pa.int64())}))
+    out = asof_lookup(ds, ts_col="t", timeline=timeline, out_col="last") \
+        .to_pandas().sort_values("id")
+    assert out["last"].tolist()[1:] == [100, 200, 300]
+    assert pd.isna(out["last"].iloc[0])  # before the first timeline entry

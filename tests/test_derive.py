@@ -236,3 +236,46 @@ def test_error_semantics_in_tree_context():
     assert not validate_both(doc2, "5")
     assert validate_both(doc2, "4")
     assert validate_both(doc2, '"five"')  # type-mismatch: eq False, not True
+
+
+# -- DeriveSpec.hs golden derivative tests (exact pattern structure) ---------
+
+
+def _derive_concrete(grammar_src, labels):
+    """Parse concrete syntax, derive w.r.t. leaf nodes with the given
+    labels, return the resulting pattern object."""
+    from katydid_haskell_ray import relapse_parser as RP
+    g = RP.compile_relapse(grammar_src)
+    forest = tuple(((t, v), ()) for t, v in labels)
+    return D.derive_forest(g, forest)
+
+
+def test_derive_golden_two_ors():
+    # DeriveSpec.hs "two ors": d((==1 | !(==2)), Int 1) == *
+    from katydid_haskell_ray import relapse_parser as RP
+    got = _derive_concrete("(== 1 | !(== 2))", [("int", 1)])
+    want = RP.compile_relapse("*").main
+    assert got is want  # hash-consing: structural equality is identity
+
+
+def test_derive_golden_two_interleaves():
+    # DeriveSpec.hs "two interleaves":
+    # d({==1 ; !(==2)}, Int 1) == ({<empty>;!(==2)} | {==1;*})
+    from katydid_haskell_ray import relapse_parser as RP
+    got = _derive_concrete("{== 1 ; !(== 2)}", [("int", 1)])
+    want = RP.compile_relapse("({<empty>;!(== 2)}|{== 1;*})").main
+    assert got is want, f"{got!r} != {want!r}"
+
+
+def test_interleave_remove_one_for_each_three_way():
+    # the removeOneForEach combinatorics (Derive.hs:96-101) through a
+    # 3-way interleave: each alternative consumes the node in one slot
+    from katydid_haskell_ray import relapse_parser as RP
+    got = _derive_concrete("{a:<empty> ; b:<empty> ; c:<empty>}",
+                           [("string", "b")])
+    want = RP.compile_relapse("{a:<empty> ; c:<empty>}").main
+    assert got is want
+    got2 = _derive_concrete("{a:<empty> ; b:<empty> ; c:<empty>}",
+                            [("string", "a"), ("string", "c")])
+    want2 = RP.compile_relapse("b:<empty>").main
+    assert got2 is want2

@@ -148,6 +148,7 @@ def _decode_fn(check_roundtrip: bool):
 
 def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
                     grammar: dict | None = IMAGES_GRAMMAR,
+                    caption_vocab=None,
                     decode_concurrency=None,
                     check_roundtrip: bool = False,
                     decode_batch_size: int = 2048):
@@ -156,6 +157,11 @@ def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
     ``grammar`` (a spec-DSL document) is validated per row via the
     column-plan compiler (vectorized; automatic tree-path fallback) and
     contributes a ``check_grammar`` column.
+
+    ``caption_vocab`` (iterable of tokens) enables the referential check:
+    every caption token must be in the vocabulary (broadcast set semi-join,
+    ``check_caption_ref`` column; swap in stages.keys.BloomProbe when the
+    reference set outgrows the driver).
 
     The decode pool autoscales (2, cpus-2): it gets the node when it's the
     bottleneck but releases CPUs to the read/write stages as it drains, so
@@ -170,6 +176,24 @@ def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
             return batch.append_column("check_grammar", pa.array(mask))
         ds = ds.map_batches(grammar_check, batch_format="pyarrow")
     ds = ds.map_batches(FlatConstraints(checks), batch_format="pyarrow")
+    if caption_vocab is not None:
+        vocab_ref = ray.put(frozenset(caption_vocab))
+
+        class CaptionRef:
+            def __init__(self):
+                self.vocab = ray.get(vocab_ref)
+
+            def __call__(self, b):
+                import pandas as _pd
+                caps = _pd.Series(b.column("caption").to_pylist())
+                toks = caps.str.split(" ").explode()
+                bad = (~toks.isin(self.vocab)).groupby(level=0).any()
+                ok = (~bad).reindex(caps.index, fill_value=False)
+                ok &= caps.notna()
+                return b.append_column("check_caption_ref",
+                                       pa.array(ok.to_numpy(dtype=bool)))
+
+        ds = ds.map_batches(CaptionRef, batch_format="pyarrow", concurrency=2)
     if decode_concurrency is None:
         # stateless tasks on the warm worker pool: the decoder holds no real
         # per-actor state (codecs are module functions cached per process),
@@ -191,6 +215,8 @@ def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
         "check_decodes", "check_dims", "check_fmt_magic", "check_phash"]
     if grammar is not None:
         check_cols.append("check_grammar")
+    if caption_vocab is not None:
+        check_cols.append("check_caption_ref")
     if check_roundtrip:
         check_cols.append("check_roundtrip")
 
@@ -219,6 +245,7 @@ def run_validation(images_path: str, out_dir: str, *,
                    resume: bool = True, profile: dict | None = None,
                    drift_threshold: float = 0.1,
                    check_roundtrip: bool = False,
+                   caption_vocab=None,
                    decode_concurrency: int | None = None) -> dict:
     """Run the full validation; returns the summary report dict.
 
@@ -247,6 +274,7 @@ def run_validation(images_path: str, out_dir: str, *,
         M.clear_shard_output(out_dir, sid)
         vds = verdict_dataset(shard_files, checks,
                               decode_concurrency=decode_concurrency,
+                              caption_vocab=caption_vocab,
                               check_roundtrip=check_roundtrip)
         shard_out = M.shard_output_dir(out_dir, sid)
         # one file per block: at production block size (128 MiB) files come

@@ -111,3 +111,48 @@ def test_full_pipeline_resume(ray_session, tmp_path):
                             profile=rep["profile"])
     assert rep3["drift"] is not None
     assert not any(d["drifted"] for d in rep3["drift"].values())
+
+
+def test_drift_detection_positive_and_negative(ray_session, tmp_path):
+    """FIXTURES.md F2: profile from a clean table, validate a SHIFTED table
+    -> drift detected on the shifted column; unshifted -> no false positive."""
+    import pyarrow as pa
+
+    base = SI.make_batch(0, 2000)
+    img_a = tmp_path / "a"; img_a.mkdir()
+    pq.write_table(base, img_a / "part.parquet")
+    rep_a = V.run_validation(str(img_a), str(tmp_path / "out_a"), n_shards=1)
+
+    # shifted variant: w distribution moved by +40 (metadata-only shift)
+    w = base.column("w").to_numpy(zero_copy_only=False) + 40
+    shifted = base.set_column(base.column_names.index("w"), "w",
+                              pa.array(w, type=pa.int32()))
+    img_b = tmp_path / "b"; img_b.mkdir()
+    pq.write_table(shifted, img_b / "part.parquet")
+    rep_b = V.run_validation(str(img_b), str(tmp_path / "out_b"), n_shards=1,
+                             profile=rep_a["profile"])
+    assert rep_b["drift"]["w"]["drifted"], rep_b["drift"]
+    assert not rep_b["drift"]["h"]["drifted"]
+    # same data against its own profile: no false positive anywhere
+    rep_c = V.run_validation(str(img_a), str(tmp_path / "out_a"), n_shards=1,
+                             profile=rep_a["profile"])
+    assert not any(d["drifted"] for d in rep_c["drift"].values())
+
+
+def test_caption_vocab_referential_in_flagship(ray_session, tmp_path):
+    img = tmp_path / "imgs_ref"; img.mkdir()
+    pq.write_table(SI.make_batch(0, 1000), img / "part.parquet")
+    rep = V.run_validation(str(img), str(tmp_path / "out_ref"), n_shards=1,
+                           caption_vocab=SI._VOCAB)
+    viol = pq.read_table(str(tmp_path / "out_ref" / "violations"))
+    ref_fails = viol.filter(
+        __import__("pyarrow.compute", fromlist=["compute"]).equal(
+            viol.column("check"), "caption_ref"))
+    ids = set(ref_fails.column("image_id").to_pylist())
+    # the non-ASCII injection (i%1000==15: 'café über') is out-of-vocab,
+    # as are empty (m==9), overlong-with-trailing-empty-token (m==13) and
+    # null (m==17) captions
+    assert f"img-{15:012d}" in ids
+    assert f"img-{9:012d}" in ids
+    assert f"img-{17:012d}" in ids
+    assert f"img-{0:012d}" not in ids

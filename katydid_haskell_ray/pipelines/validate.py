@@ -390,10 +390,25 @@ def run_validation(images_path: str, out_dir: str, *,
      .write_parquet(os.path.join(out_dir, "violations")))
 
     import pickle as _pickle
-    blob_rows = partials.filter(expr="kind == 'stat'").to_pandas()["blob"]
-    stat_dicts = [r for blob in blob_rows for r in _pickle.loads(blob)]
-    stats = ST.merge_partials(pa.Table.from_pylist(stat_dicts,
-                                                   schema=ST.PARTIAL_SCHEMA))
+    blob_rows = list(partials.filter(expr="kind == 'stat'")
+                     .to_pandas()["blob"])
+    if len(blob_rows) > 64:
+        # tree-reduce the per-batch stats states in remote tasks (north
+        # star: "sketches merge via tree-reduce aggregation") — at 100 TB
+        # the partial count is O(shards x blocks) and no single process
+        # should hold them all
+        from katydid_haskell_ray.state.reduce import tree_reduce
+
+        def blob_to_state(blob):
+            return ST.merge_partials(pa.Table.from_pylist(
+                _pickle.loads(blob), schema=ST.PARTIAL_SCHEMA), finalize=False)
+
+        states = [blob_to_state(b) for b in blob_rows]
+        stats = ST.finalize_stats(tree_reduce(states, ST.merge_stats))
+    else:
+        stat_dicts = [r for blob in blob_rows for r in _pickle.loads(blob)]
+        stats = ST.merge_partials(pa.Table.from_pylist(
+            stat_dicts, schema=ST.PARTIAL_SCHEMA))
 
     # bucketed two-level dup aggregation (see stages.keys.duplicate_keys):
     # coarse 64-bucket shuffle + pandas reduce per bucket — grouping on the

@@ -79,7 +79,44 @@ class StatsPartials:
         return pa.Table.from_pylist(rows, schema=PARTIAL_SCHEMA)
 
 
-def merge_partials(partials: pa.Table) -> dict[str, dict]:
+def merge_stats(a: dict[str, dict], b: dict[str, dict]) -> dict[str, dict]:
+    """Associatively merge two RAW stats dicts (pre-finalize) — the merge
+    function for tree_reduce over per-shard stats states."""
+    out = {k: dict(v) for k, v in a.items()}
+    for col, s2 in b.items():
+        s = out.setdefault(col, {
+            "count": 0, "nulls": 0, "min": None, "max": None, "sum": 0.0,
+            "min_s": None, "max_s": None, "hll": None, "kll": None,
+        })
+        s["count"] += s2["count"]
+        s["nulls"] += s2["nulls"]
+        for k, red in (("min", min), ("max", max), ("min_s", min), ("max_s", max)):
+            if s2[k] is not None:
+                s[k] = s2[k] if s[k] is None else red(s[k], s2[k])
+        s["sum"] += s2["sum"]
+        for k in ("hll", "kll"):
+            if s2[k] is not None:
+                s[k] = s2[k] if s[k] is None else s[k].merge(s2[k])
+    return out
+
+
+def finalize_stats(out: dict[str, dict]) -> dict[str, dict]:
+    """Add derived fields (null_rate, cardinality, quantiles) to a raw
+    stats dict."""
+    for s in out.values():
+        s["null_rate"] = s["nulls"] / s["count"] if s["count"] else 0.0
+        if s["hll"] is not None:
+            s["cardinality"] = s["hll"].estimate()
+        if s["kll"] is not None:
+            s["quantiles"] = {
+                q: float(v) for q, v in zip(
+                    (0.01, 0.25, 0.5, 0.75, 0.99),
+                    s["kll"].quantiles([0.01, 0.25, 0.5, 0.75, 0.99]))
+            }
+    return out
+
+
+def merge_partials(partials: pa.Table, finalize: bool = True) -> dict[str, dict]:
     """Merge partial rows (small — driver side) into per-column stats."""
     out: dict[str, dict] = {}
     for row in partials.to_pylist():
@@ -99,17 +136,7 @@ def merge_partials(partials: pa.Table) -> dict[str, dict]:
             if row[k] is not None:
                 sk = pickle.loads(row[k])
                 s[k] = sk if s[k] is None else s[k].merge(sk)
-    for s in out.values():
-        s["null_rate"] = s["nulls"] / s["count"] if s["count"] else 0.0
-        if s["hll"] is not None:
-            s["cardinality"] = s["hll"].estimate()
-        if s["kll"] is not None:
-            s["quantiles"] = {
-                q: float(v) for q, v in zip(
-                    (0.01, 0.25, 0.5, 0.75, 0.99),
-                    s["kll"].quantiles([0.01, 0.25, 0.5, 0.75, 0.99]))
-            }
-    return out
+    return finalize_stats(out) if finalize else out
 
 
 def profile_of(stats: dict[str, dict]) -> dict:

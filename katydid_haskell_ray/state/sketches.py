@@ -73,6 +73,8 @@ class HLL:
         return self
 
     def merge(self, other: "HLL") -> "HLL":
+        if not self.regs.flags.writeable:  # zero-copy from the object store
+            self.regs = self.regs.copy()
         np.maximum(self.regs, other.regs, out=self.regs)
         return self
 
@@ -213,6 +215,8 @@ class Bloom:
         return got.all(axis=0)
 
     def merge(self, other: "Bloom") -> "Bloom":
+        if not self.bits.flags.writeable:  # zero-copy from the object store
+            self.bits = self.bits.copy()
         np.bitwise_or(self.bits, other.bits, out=self.bits)
         return self
 

@@ -95,3 +95,42 @@ def test_simhash_similarity():
 def test_popcount():
     x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
     assert list(S.popcount64(x)) == [0, 1, 2, 64]
+
+
+def test_tree_reduce_sketch_merge(ray_session):
+    """tree_reduce over many HLL partials equals sequential merging."""
+    import numpy as np
+    from katydid_haskell_ray.state.reduce import tree_reduce
+
+    parts = []
+    for i in range(100):
+        h = S.HLL()
+        h.add_hashes(S.hash64_array([f"k{i}-{j}" for j in range(500)]))
+        parts.append(h)
+    seq = S.HLL()
+    for p in parts:
+        seq.merge(p)
+    treed = tree_reduce([S.HLL().merge(p) for p in parts],
+                        lambda a, b: a.merge(b), branch=4)
+    assert (treed.regs == seq.regs).all()
+    # small input: local path
+    small = tree_reduce(parts[:3], lambda a, b: a.merge(b))
+    assert small.estimate() > 0
+
+
+def test_merge_stats_associative():
+    import pyarrow as pa
+    from katydid_haskell_ray.stages import stats as ST
+
+    t1 = pa.table({"x": pa.array([1.0, 2.0, None]), "k": pa.array(["a", "b", "a"])})
+    t2 = pa.table({"x": pa.array([10.0, 20.0]), "k": pa.array(["c", "a"])})
+    fn = ST.StatsPartials(numeric=("x",), keys=("k",))
+    s1 = ST.merge_partials(fn(t1), finalize=False)
+    s2 = ST.merge_partials(fn(t2), finalize=False)
+    merged = ST.finalize_stats(ST.merge_stats(s1, s2))
+    both = ST.merge_partials(pa.concat_tables([fn(t1), fn(t2)]))
+    assert merged["x"]["count"] == both["x"]["count"] == 5
+    assert merged["x"]["min"] == both["x"]["min"] == 1.0
+    assert merged["x"]["max"] == both["x"]["max"] == 20.0
+    assert merged["x"]["nulls"] == 1
+    assert round(merged["k"]["cardinality"]) == round(both["k"]["cardinality"]) == 3

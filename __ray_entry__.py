@@ -27,12 +27,13 @@ IMAGES_SF001 = _images_sf001_path()  # correctness-gate table (sf0.01)
 
 
 def entry() -> Any:
-    """Flagship: constraint + decode verdicts over the sf0.001 images table."""
+    """Flagship: grammar + constraint + referential + decode verdicts over
+    the sf0.001 images table (the full check set of the verdict pass)."""
     from katydid_haskell_ray.pipelines.validate import verdict_dataset
-    from katydid_haskell_ray.sources.synth_images import ensure_images_parquet
+    from katydid_haskell_ray.sources.synth_images import _VOCAB, ensure_images_parquet
 
     path = ensure_images_parquet("sf0.001")
-    return verdict_dataset(path, decode_concurrency=2)
+    return verdict_dataset(path, caption_vocab=_VOCAB, check_roundtrip=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

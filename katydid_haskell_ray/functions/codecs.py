@@ -32,6 +32,8 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 # Marker for the deterministic fake JPEG payload (NOT a real JPEG scan).
 _FAKE_JPEG_TAG = b"KHRFAKE0"
 
+_JPEG_NOISE_CACHE: dict = {}
+
 
 class DecodeError(ValueError):
     """Raised when image bytes cannot be decoded."""
@@ -208,9 +210,13 @@ def encode_jpeg_stub(arr: np.ndarray) -> bytes:
         raise ValueError("encode_jpeg_stub expects (h, w, 3) uint8")
     h, w, _ = arr.shape
     # deterministic ±1 "quantization noise" keyed on pixel coordinates
-    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    noise = ((xx + yy) % 2).astype(np.int16)[:, :, None]  # 0/1 checkerboard
-    lossy = np.clip(arr.astype(np.int16) + noise - ((xx + yy + 1) % 2)[:, :, None], 0, 255)
+    # (the checkerboard depends only on the size: cache per (h, w))
+    delta = _JPEG_NOISE_CACHE.get((h, w))
+    if delta is None:
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        delta = (((xx + yy) % 2) - ((xx + yy + 1) % 2)).astype(np.int16)[:, :, None]
+        _JPEG_NOISE_CACHE[(h, w)] = delta
+    lossy = np.clip(arr.astype(np.int16) + delta, 0, 255)
     body = zlib.compress(lossy.astype(np.uint8).tobytes(), 1)
     return (
         JPEG_MAGIC
@@ -304,3 +310,26 @@ def phash64(arr: np.ndarray) -> int:
     shifts = np.arange(63, -1, -1, dtype=np.uint64)
     val = np.bitwise_or.reduce(bits << shifts)
     return int(val.astype(np.int64))  # reinterpret as signed for Arrow int64
+
+
+_PHASH_W = np.array([0.299, 0.587, 0.114])
+
+
+def phash64_batch(arrs: np.ndarray) -> np.ndarray:
+    """Vectorized phash64 over a stack of SAME-SIZE images (n, h, w, 3).
+
+    Bit-identical to per-image :func:`phash64` (same reduceat/mean float
+    ops, just batched); callers group images by (h, w) first."""
+    n, h, w, _ = arrs.shape
+    gray = arrs.astype(np.float64) @ _PHASH_W  # (n, h, w)
+    ys = (np.arange(8 + 1) * h) // 8
+    xs = (np.arange(8 + 1) * w) // 8
+    rows = np.add.reduceat(gray, ys[:-1], axis=1)
+    sums = np.add.reduceat(rows, xs[:-1], axis=2)  # (n, 8, 8)
+    areas = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    cells = sums / areas
+    bits = (cells > cells.mean(axis=(1, 2), keepdims=True))
+    flat = bits.reshape(n, 64).astype(np.uint64)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    vals = np.bitwise_or.reduce(flat << shifts, axis=1)
+    return vals.astype(np.int64)

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from katydid_haskell_ray.functions import codecs
+from katydid_haskell_ray.state.sketches import hamming_distance64 as _ham
 
 
 class DecodeValidator:
@@ -35,25 +36,18 @@ class DecodeValidator:
         self.psnr_db = psnr_db
         self.phash_tolerance = phash_tolerance
 
-    def _one(self, data, fmt, w, h, phash):
-        """Returns (decodes, dims_ok, fmt_ok, phash_ok, rt_ok, err)."""
+    def _one(self, data, fmt, w, h):
+        """Returns (decodes, dims_ok, fmt_ok, rt_ok, err, arr, magic)."""
         if data is None:
-            return False, False, False, False, False, "null bytes"
+            return False, False, False, False, "null bytes", None, None
         magic = codecs.sniff_format(data)
         fmt_ok = magic == fmt
         try:
             arr = codecs.decode_image(data, magic or fmt)
         except codecs.DecodeError as e:
-            return False, False, fmt_ok, False, False, str(e)
+            return False, False, fmt_ok, False, str(e), None, magic
         ah, aw = arr.shape[:2]
         dims_ok = (aw == w) and (ah == h)
-        actual_ph = codecs.phash64(arr)
-        if magic in codecs.LOSSY_FMTS:
-            # scalar hamming via int.bit_count (no numpy array overhead)
-            d = ((actual_ph ^ phash) & 0xFFFFFFFFFFFFFFFF).bit_count()
-            phash_ok = d <= self.phash_tolerance
-        else:
-            phash_ok = actual_ph == phash
         rt_ok = True
         if self.check_roundtrip and magic in codecs.ENCODERS:
             try:
@@ -68,7 +62,7 @@ class DecodeValidator:
                     rt_ok = bool((rt == arr).all())
             except codecs.DecodeError:
                 rt_ok = False
-        return True, dims_ok, fmt_ok, phash_ok, rt_ok, ""
+        return True, dims_ok, fmt_ok, rt_ok, "", arr, magic
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -76,13 +70,27 @@ class DecodeValidator:
         fmts = batch.column("fmt").to_pylist()
         ws = batch.column("w").to_pylist()
         hs = batch.column("h").to_pylist()
-        phs = batch.column("phash").to_pylist()
+        phs = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
         res = np.zeros((n, 5), dtype=bool)
         errs = []
+        by_shape: dict = {}  # (h, w) -> ([indices], [arrays], [lossy])
         for i in range(n):
-            d, dm, f, p, rt, err = self._one(data[i], fmts[i], ws[i], hs[i], phs[i])
-            res[i] = (d, dm, f, p, rt)
+            d, dm, f, rt, err, arr, magic = self._one(data[i], fmts[i], ws[i], hs[i])
+            res[i] = (d, dm, f, False, rt)
             errs.append(err)
+            if arr is not None:
+                idxs, arrs, lossy = by_shape.setdefault(arr.shape[:2], ([], [], []))
+                idxs.append(i)
+                arrs.append(arr)
+                lossy.append(magic in codecs.LOSSY_FMTS)
+        # phash check vectorized per same-size group (bit-identical to the
+        # per-image path; see codecs.phash64_batch)
+        for (ih, iw), (idxs, arrs, lossy) in by_shape.items():
+            actual = codecs.phash64_batch(np.stack(arrs))
+            stored = phs[idxs]
+            dist = _ham(actual, stored)
+            tol = np.where(np.array(lossy), self.phash_tolerance, 0)
+            res[idxs, 3] = dist <= tol
         out = (
             batch
             .append_column("check_decodes", pa.array(res[:, 0]))

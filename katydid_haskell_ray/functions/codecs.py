@@ -296,7 +296,16 @@ def phash64(arr: np.ndarray) -> int:
     Deterministic and vectorized; used both by the synthesizer (ground truth
     column) and the decode-validation stage (recompute + compare).
     """
-    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = arr.shape[:2]
+    if h < 8 or w < 8:  # tiny images: upsample so every 8x8 cell is non-empty
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        arr = arr[ys][:, xs]
+    a = arr.astype(np.float64)
+    # explicit elementwise weights (NOT @): BLAS matmul rounding differs by
+    # operand shape, which would break batch-vs-single bit-identity on tie
+    # cells (constant images)
+    gray = a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
     h, w = gray.shape
     # resample to 8x8 via index-based block means (works for any h, w >= 8);
     # block sums via reduceat on both axes (vectorized)
@@ -321,7 +330,13 @@ def phash64_batch(arrs: np.ndarray) -> np.ndarray:
     Bit-identical to per-image :func:`phash64` (same reduceat/mean float
     ops, just batched); callers group images by (h, w) first."""
     n, h, w, _ = arrs.shape
-    gray = arrs.astype(np.float64) @ _PHASH_W  # (n, h, w)
+    if h < 8 or w < 8:  # tiny images: same upsampling as phash64
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        arrs = arrs[:, ys][:, :, xs]
+        n, h, w, _ = arrs.shape
+    af = arrs.astype(np.float64)
+    gray = af[..., 0] * 0.299 + af[..., 1] * 0.587 + af[..., 2] * 0.114
     ys = (np.arange(8 + 1) * h) // 8
     xs = (np.arange(8 + 1) * w) // 8
     rows = np.add.reduceat(gray, ys[:-1], axis=1)

@@ -156,3 +156,20 @@ def test_caption_vocab_referential_in_flagship(ray_session, tmp_path):
     assert f"img-{9:012d}" in ids
     assert f"img-{17:012d}" in ids
     assert f"img-{0:012d}" not in ids
+
+
+def test_resume_does_not_rewrite_completed_shards(ray_session, tmp_path):
+    img = tmp_path / "imgs_nr"; img.mkdir()
+    pq.write_table(SI.make_batch(0, 800), img / "p0.parquet")
+    pq.write_table(SI.make_batch(800, 1600), img / "p1.parquet")
+    out = tmp_path / "out_nr"
+    V.run_validation(str(img), str(out), n_shards=2)
+    import glob
+    shard_files = sorted(glob.glob(str(out / "shard=*/*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in shard_files}
+    recs = V.M.completed_shards(str(out))
+    assert len(recs) == 2
+    assert all("rows_per_sec" in r["metrics"] for r in recs.values())
+    V.run_validation(str(img), str(out), n_shards=2)  # resume: full skip
+    for f, t in mtimes.items():
+        assert os.path.getmtime(f) == t, f"shard output rewritten: {f}"

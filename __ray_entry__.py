@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isprime_quantity": Q.isprime_quantity,
         "order_priority_revenue": Q.order_priority_revenue,
         "events_asof_order": Q.events_asof_order,
+        "distinct_event_types": Q.distinct_event_types,
         # images (input_hint table)
         "images_stats": Q.images_stats,
         "images_uniqueness": Q.images_uniqueness,
@@ -264,6 +265,9 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
         """,
         "events_asof_order": """
             WITH od AS (SELECT DISTINCT CAST(epoch(o_orderdate) AS BIGINT) AS d

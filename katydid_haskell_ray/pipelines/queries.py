@@ -653,3 +653,9 @@ def events_asof_order(sf_dir: str):
     out = asof_lookup(prepped, ts_col="ts_s", timeline=timeline,
                       out_col="last_order_s")
     return out.select_columns(["event_id", "last_order_s"])
+
+
+def distinct_event_types(sf_dir: str):
+    """Dataset.unique demonstration (the distinct-values wide op)."""
+    vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")
+    return pa.table({"event_type": pa.array(sorted(vals), type=pa.string())})

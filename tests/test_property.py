@@ -67,7 +67,7 @@ def json_values(depth):
     )
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=250, deadline=None)
 @given(pat=patterns(2), doc=json_values(2))
 def test_all_evaluators_agree(pat, doc):
     try:

@@ -152,20 +152,40 @@ def lower_grammar(g: P.Grammar, schema: pa.Schema) -> dict[str, E.Expr]:
         parts = [main]
 
     coltypes = {f.name: E.arrow_type_to_vtype(f.type) for f in schema}
-    plan: dict[str, E.Expr] = {}
+    fields: list[tuple[str, P.Pattern, bool]] = []
     seen: set[str] = set()
     covers_rest = False
-    for part in parts:
+    for i, part in enumerate(parts):
         if part is P.zany_p or (part.kind == P.STAR and part.pat is P.zany_p):
+            # In a Concat, a zany/zany-star "covers the rest" ONLY when it is
+            # the final element; a non-trailing star can absorb named-field
+            # columns and is not expressible column-wise (tree path instead).
+            if main.kind == P.CONCAT and i != len(parts) - 1:
+                raise NotLowerable("non-trailing zany-star in concat")
             covers_rest = True
             continue
-        name, leafpat, _opt = _unwrap_field(part)
+        name, leafpat, opt = _unwrap_field(part)
         if name in seen:
             raise NotLowerable(f"duplicate field {name}")
         if name not in coltypes or coltypes[name] is None:
             raise NotLowerable(f"unknown/unmappable column {name}")
         seen.add(name)
-        plan[name] = _lower_leaf(leafpat, name, coltypes[name])
+        fields.append((name, leafpat, opt))
+    plan: dict[str, E.Expr] = {}
+    for name, leafpat, opt in fields:
+        if opt and covers_rest:
+            if main.kind == P.CONCAT:
+                # In a Concat an Optional before another required field DOES
+                # constrain its column (emptiness shifts the match left);
+                # only a trailing optional-run before the star is free.
+                # Conservative: tree path.
+                raise NotLowerable("optional field with covering star in concat")
+            # Interleave: the column node may EITHER satisfy the Optional
+            # field OR be absorbed by the covering zany-star (Optional then
+            # matches empty) — so the column is unconstrained.
+            plan[name] = E.true_e()
+        else:
+            plan[name] = _lower_leaf(leafpat, name, coltypes[name])
     if main.kind == P.CONCAT:
         # concat imposes field ORDER = schema order of the named columns
         named = [n for n in schema.names if n in seen]

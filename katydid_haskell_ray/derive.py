@@ -99,13 +99,24 @@ def _add_ret(p, tree) -> tuple:
     return ("cond", c, _add_ret(p, t), _add_ret(p, e))
 
 
+class CondEvalError(Exception):
+    """A decision-tree condition evaluated to an error at top level.
+
+    The reference threads `Either` through evalIf and any Left aborts the
+    ENTIRE document's validation with False (MemDerive.hs validate /
+    IfExprs.hs:50-54) — errors are only swallowed inside `not` (error⇒True)
+    and short-circuited and/or.  The validate entry points catch this and
+    return False for the whole tree."""
+
+
 def eval_if_exprs(tree: tuple, label) -> list[P.Pattern]:
     """Run the decision tree on one label (IfExprs.hs:50-54).  A top-level
-    condition eval error is treated as False (see exprs.core docstring)."""
+    condition eval error aborts the whole document (CondEvalError)."""
     env = E.LabelEnv(label[0], label[1])
     while tree[0] == "cond":
         b = E.eval_scalar(tree[1], env)
-        b = False if E.is_err(b) else b
+        if E.is_err(b):
+            raise CondEvalError(tree[1])
         tree = tree[2] if b else tree[3]
     return tree[1]
 
@@ -237,8 +248,13 @@ def derive_forest(g: P.Grammar, forest) -> P.Pattern:
 
 
 def validate_forest(g: P.Grammar, forest) -> bool:
-    """validate g ts — nullability of the final derivative (Relapse.hs:58-61)."""
-    return derive_forest(g, forest).nullable
+    """validate g ts — nullability of the final derivative (Relapse.hs:58-61).
+    A condition eval error anywhere in the tree ⇒ False for the whole
+    document (reference Left propagation)."""
+    try:
+        return derive_forest(g, forest).nullable
+    except CondEvalError:
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -287,9 +303,12 @@ class MemDeriver:
         return self._returns_for(state, bits)
 
     def validate(self, forest) -> bool:
-        state = (self.g.main,)
-        for t in forest:
-            state = self._deriv(state, t)
+        try:
+            state = (self.g.main,)
+            for t in forest:
+                state = self._deriv(state, t)
+        except CondEvalError:
+            return False
         return len(state) == 1 and state[0].nullable
 
     def cache_sizes(self) -> tuple[int, int]:
@@ -350,6 +369,12 @@ class VpaDeriver:
             yield ("close", None)
 
     def validate(self, forest) -> bool:
+        try:
+            return self._validate(forest)
+        except CondEvalError:
+            return False
+
+    def _validate(self, forest) -> bool:
         state: tuple = (self.g.main,)
         stack: list = []
         for kind, payload in self.tokens(forest):

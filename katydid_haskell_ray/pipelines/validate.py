@@ -266,7 +266,12 @@ def run_validation(images_path: str, out_dir: str, *,
         total = sum(os.path.getsize(f) for f in files)
         n_shards = max(1, min(len(files), -(-total // target_shard_bytes)))
     shards = M.split_shards(files, n_shards)
-    done = M.completed_shards(out_dir) if resume else {}
+    # A shard is resumable ONLY when its recorded lineage matches the current
+    # split — if the input file set or shard count changed, the stale output
+    # must be recomputed, not silently reused.
+    done = {sid: rec
+            for sid, rec in (M.completed_shards(out_dir) if resume else {}).items()
+            if sid < len(shards) and rec.get("input_files") == shards[sid]}
     os.makedirs(out_dir, exist_ok=True)
 
     def run_shard(sid: int, shard_files: list[str]):
@@ -390,25 +395,34 @@ def run_validation(images_path: str, out_dir: str, *,
      .write_parquet(os.path.join(out_dir, "violations")))
 
     import pickle as _pickle
-    blob_rows = list(partials.filter(expr="kind == 'stat'")
-                     .to_pandas()["blob"])
-    if len(blob_rows) > 64:
-        # tree-reduce the per-batch stats states in remote tasks (north
-        # star: "sketches merge via tree-reduce aggregation") — at 100 TB
-        # the partial count is O(shards x blocks) and no single process
-        # should hold them all
-        from katydid_haskell_ray.state.reduce import tree_reduce
 
-        def blob_to_state(blob):
-            return ST.merge_partials(pa.Table.from_pylist(
-                _pickle.loads(blob), schema=ST.PARTIAL_SCHEMA), finalize=False)
+    def merge_stat_blobs(batch: pa.Table) -> pa.Table:
+        """First reduce level INSIDE Ray: each block of per-batch stat blobs
+        collapses to one merged raw-state blob, so the driver only ever sees
+        O(blocks / batch_size) states, never the full partial stream (north
+        star: sketches merge via tree-reduce aggregation)."""
+        states = [ST.merge_partials(pa.Table.from_pylist(
+                      _pickle.loads(b), schema=ST.PARTIAL_SCHEMA),
+                      finalize=False)
+                  for b in batch.column("blob").to_pylist()]
+        if not states:
+            return pa.table({"blob": pa.array([], type=pa.binary())})
+        acc = states[0]
+        for s in states[1:]:
+            acc = ST.merge_stats(acc, s)
+        return pa.table({"blob": pa.array([_pickle.dumps(acc, protocol=5)],
+                                          type=pa.binary())})
 
-        states = [blob_to_state(b) for b in blob_rows]
-        stats = ST.finalize_stats(tree_reduce(states, ST.merge_stats))
-    else:
-        stat_dicts = [r for blob in blob_rows for r in _pickle.loads(blob)]
-        stats = ST.merge_partials(pa.Table.from_pylist(
-            stat_dicts, schema=ST.PARTIAL_SCHEMA))
+    from katydid_haskell_ray.state.reduce import tree_reduce
+    states = [_pickle.loads(b)
+              for bt in (partials.filter(expr="kind == 'stat'")
+                         .select_columns(["blob"])
+                         .map_batches(merge_stat_blobs, batch_format="pyarrow",
+                                      batch_size=4096)
+                         .iter_batches(batch_format="pyarrow"))
+              for b in bt.column("blob").to_pylist()]
+    stats = (ST.finalize_stats(tree_reduce(states, ST.merge_stats))
+             if states else {})
 
     # bucketed two-level dup aggregation (see stages.keys.duplicate_keys):
     # coarse 64-bucket shuffle + pandas reduce per bucket — grouping on the
@@ -445,8 +459,13 @@ def run_validation(images_path: str, out_dir: str, *,
     n_viol_rows = _parquet_num_rows(
         _input_files(os.path.join(out_dir, "violations")))
 
-    n_rows = sum(r["n_rows"] for r in M.completed_shards(out_dir).values())
-    n_fail = sum(r["n_violations"] for r in M.completed_shards(out_dir).values())
+    # restrict the summation to the CURRENT split's shard ids — stale
+    # manifests from a previous run with a different shard count must not
+    # leak into the totals
+    final = {sid: r for sid, r in M.completed_shards(out_dir).items()
+             if sid < len(shards)}
+    n_rows = sum(r["n_rows"] for r in final.values())
+    n_fail = sum(r["n_violations"] for r in final.values())
     report = {
         "n_rows": n_rows,
         "n_pass": n_rows - n_fail,

@@ -114,6 +114,44 @@ def test_wrong_typed_leaf_errors_like_tree():
     assert not got.any()
 
 
+def test_concat_non_trailing_star_not_lowerable():
+    # concat[star(zany), F_w]: the star could absorb the w column node, so
+    # "covers the rest" is position-dependent in a Concat — tree path only
+    # (ADVICE r1: lowered plan wrongly accepted rows here).
+    doc = {"main": {"concat": [{"star": "zany"}, FIELD_W]}}
+    check(doc, expect_lowered=False)
+    # leading bare zany has the same absorption behavior
+    doc2 = {"main": {"concat": ["zany", FIELD_W]}}
+    check(doc2, expect_lowered=False)
+
+
+def test_optional_field_with_covering_star():
+    # interleave[optional(F_w), star(zany)]: the star can absorb a
+    # NON-matching w node while Optional matches empty, so w is
+    # unconstrained — every row valid (ADVICE r1: lowered path wrongly
+    # rejected rows the derivative accepts).
+    doc = {"main": {"interleave": [
+        {"optional": FIELD_W}, {"star": "zany"}]}}
+    got = check(doc)
+    assert got.all()
+
+
+def test_optional_field_without_star_equals_field():
+    # with NO covering star, Optional must consume its node: = plain field
+    doc = {"main": {"interleave": [
+        {"optional": FIELD_W}, FIELD_FMT, FIELD_CAP]}}
+    got = check(doc)
+    assert list(got) == [True, False, False, False, True]
+
+
+def test_concat_optional_with_star_falls_back():
+    # Concat + Optional + covering star: emptiness shifts the match left,
+    # position-dependent — conservative tree path, must still agree
+    doc = {"main": {"concat": [
+        {"optional": FIELD_W}, FIELD_FMT, {"star": "zany"}]}}
+    check(doc, expect_lowered=False)
+
+
 def test_concat_order_matches_schema():
     doc = {"main": {"concat": [FIELD_W, FIELD_FMT, FIELD_CAP]}}
     got = check(doc)  # schema order is w, fmt, caption -> lowerable

@@ -238,6 +238,26 @@ def test_error_semantics_in_tree_context():
     assert validate_both(doc2, '"five"')  # type-mismatch: eq False, not True
 
 
+def test_condition_error_aborts_whole_tree():
+    # A top-level condition eval error aborts the ENTIRE document with False
+    # (reference: evalIf threads Either, any Left -> validate False,
+    # MemDerive.hs / IfExprs.hs:50-54) — even when another or-branch would
+    # have matched.  Bare $bool var on a string label errors.
+    doc = {"main": {"or": [
+        {"contains": {"node": {"var": "bool"}, "child": "empty"}},
+        {"contains": {"leaf": {"op": "==", "value": {"string": "x"}}}},
+    ]}}
+    g = S.compile_spec(doc)
+    forest = T.json_to_forest('"x"')
+    assert D.validate_forest(g, forest) is False
+    assert D.MemDeriver(g).validate(forest) is False
+    assert D.VpaDeriver(g).validate(forest) is False
+    # on a bool label the same grammar matches via the first branch
+    forest_b = ((("bool", True), ()),)
+    assert D.validate_forest(g, forest_b) is True
+    assert D.MemDeriver(g).validate(forest_b) is True
+
+
 # -- DeriveSpec.hs golden derivative tests (exact pattern structure) ---------
 
 

@@ -173,3 +173,24 @@ def test_resume_does_not_rewrite_completed_shards(ray_session, tmp_path):
     V.run_validation(str(img), str(out), n_shards=2)  # resume: full skip
     for f, t in mtimes.items():
         assert os.path.getmtime(f) == t, f"shard output rewritten: {f}"
+
+
+def test_resume_invalidated_by_lineage_change(ray_session, tmp_path):
+    """ADVICE r1: a manifest record only skips a shard when its recorded
+    input_files match the CURRENT split — changed inputs or a different
+    shard count must recompute, and stale out-of-range manifests must not
+    leak into the totals."""
+    img = tmp_path / "imgs_lin"; img.mkdir()
+    pq.write_table(SI.make_batch(0, 600), img / "p0.parquet")
+    pq.write_table(SI.make_batch(600, 1200), img / "p1.parquet")
+    out = tmp_path / "out_lin"
+    rep = V.run_validation(str(img), str(out), n_shards=2)
+    assert rep["n_rows"] == 1200
+    # shard count change 2 -> 1: old per-file shards are stale; the run must
+    # recompute and count only the current split's single shard
+    rep2 = V.run_validation(str(img), str(out), n_shards=1)
+    assert rep2["n_rows"] == 1200, "stale shard-1 manifest double-counted"
+    # input file set change with same shard count: lineage mismatch -> redo
+    pq.write_table(SI.make_batch(1200, 1500), img / "p2.parquet")
+    rep3 = V.run_validation(str(img), str(out), n_shards=2)
+    assert rep3["n_rows"] == 1500

@@ -12,10 +12,13 @@ pipeline additions, all built Ray-Data-first:
 - embedding-cosine near-dup pairs over an embedding column
 
 Scale notes: every shuffle ships only (key, hash/signature) projections;
-signatures are fixed-width; union-find runs on the driver over the verified
-candidate PAIR set only (bounded by true-duplicate density, not input size —
-documented assumption; for adversarial inputs swap in the iterative
-min-label-propagation groupby described in ray_guide).
+signatures are fixed-width and computed by ONE batched kernel per block
+(flattened shingle hashes + offsets, sketches.signature_many).  The LSH
+tail is fully distributed: candidate texts reach the verify stage through a
+Bloom-filtered partitioned hash join (never a driver dict), components come
+from iterative min-label propagation (stages/components.py, bucketed
+groupby rounds — no driver union-find), and the kept set is a distributed
+anti-join of ids against cluster non-representatives.
 """
 
 from __future__ import annotations
@@ -91,10 +94,33 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def flat_shingle_hashes(texts, k: int = 3):
+    """All docs' word-k-shingle hashes concatenated + (n_docs+1) offsets.
+
+    Shingle definition matches :func:`word_shingles` exactly (short docs
+    collapse to one whole-text shingle, empty docs to none) but the whole
+    batch goes through ONE hash64_array call instead of one per doc."""
+    grams: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = _WORD_RE.findall(t or "")
+        if len(toks) >= k:
+            grams.extend(" ".join(toks[j:j + k])
+                         for j in range(len(toks) - k + 1))
+        elif toks:
+            grams.append(" ".join(toks))
+        offsets[i + 1] = len(grams)
+    flat = (SK.hash64_array(np.array(grams, dtype=object))
+            if grams else np.empty(0, np.uint64))
+    return flat, offsets
+
+
 class MinHashStage:
     """Actor stage: text -> (k,) minhash signature column (fixed-size list).
 
-    The MinHasher's permutation table builds once per actor."""
+    The MinHasher's permutation table builds once per actor; signatures for
+    the whole batch come from one flattened segment-min kernel
+    (sketches.MinHasher.signature_many) — no per-doc Python loop."""
 
     def __init__(self, col: str = "text", k: int = 128, shingle: int = 3):
         self.col = col
@@ -103,9 +129,8 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.col).to_pylist()
-        sigs = np.stack([
-            self.mh.signature(word_shingles(t, self.shingle)) for t in texts
-        ]).astype(np.int64)  # view as signed for Arrow
+        flat, offsets = flat_shingle_hashes(texts, self.shingle)
+        sigs = self.mh.signature_many(flat, offsets).astype(np.int64)
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.ravel(), type=pa.int64()), self.mh.k)
         return batch.append_column("minhash", sig_arr)
@@ -121,36 +146,16 @@ def lsh_band_rows(batch: pa.Table, *, bands: int, rows_per_band: int,
     n = len(sig)
     k = bands * rows_per_band
     flat = sig.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)[:, :k]
-    ids = batch.column(id_col).to_pylist()
-    band_ids, band_hashes, out_ids = [], [], []
-    for b in range(bands):
-        seg = flat[:, b * rows_per_band:(b + 1) * rows_per_band]
-        # hash each row's band segment
-        bh = pd.util.hash_pandas_object(
-            pd.DataFrame(seg), index=False).to_numpy()
-        band_ids.extend([b] * n)
-        band_hashes.extend(bh.view(np.int64).tolist())
-        out_ids.extend(ids)
-    return pa.table({"band": pa.array(band_ids, type=pa.int32()),
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    band_hashes = np.concatenate([
+        pd.util.hash_pandas_object(
+            pd.DataFrame(flat[:, b * rows_per_band:(b + 1) * rows_per_band]),
+            index=False).to_numpy().view(np.int64)
+        for b in range(bands)]) if n else np.empty(0, np.int64)
+    return pa.table({"band": pa.array(np.repeat(
+                         np.arange(bands, dtype=np.int32), n)),
                      "band_hash": pa.array(band_hashes, type=pa.int64()),
-                     id_col: pa.array(out_ids)})
-
-
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict = {}
-
-    def find(self, x):
-        p = self.parent.setdefault(x, x)
-        while p != x:
-            self.parent[x] = p = self.parent.setdefault(p, p)
-            x, p = p, self.parent[p]
-        return p
-
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[max(ra, rb)] = min(ra, rb)
+                     id_col: pa.array(np.tile(ids, bands))})
 
 
 def _auto_concurrency(requested):
@@ -162,14 +167,28 @@ def _auto_concurrency(requested):
 
 def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                    k: int = 128, bands: int = 32, shingle: int = 3,
-                   threshold: float = 0.8, concurrency: int | None = None):
-    """Full MinHash-LSH near-dup pipeline; returns (clusters_df, kept_ids).
+                   threshold: float = 0.8, concurrency: int | None = None,
+                   n_buckets: int = 64):
+    """Full MinHash-LSH near-dup pipeline; returns (clusters_df, kept_ds).
 
     clusters_df: pandas (id, cluster) for every doc in a near-dup cluster of
-    size >= 2, cluster = min id of the cluster.  kept_ids: ids surviving
-    dedup (cluster representatives + singletons).
+    size >= 2, cluster = min id of the cluster (bounded by duplicate
+    density).  kept_ds: Dataset of ids surviving dedup (cluster
+    representatives + singletons), computed by distributed anti-join — the
+    full id set never lands on the driver.
+
+    Tail stages are fully distributed: candidate pairs are Jaccard-verified
+    in map_batches after a Bloom-filtered hash join brings the two texts to
+    each pair, and components come from min-label propagation
+    (stages/components.py).
     """
-    import pandas as _pd
+    import pickle
+
+    import ray
+
+    from katydid_haskell_ray.state.reduce import tree_reduce
+    from katydid_haskell_ray.stages.components import connected_components
+    from katydid_haskell_ray.stages.join import hash_join
 
     concurrency = _auto_concurrency(concurrency)
     rows_per_band = k // bands
@@ -190,71 +209,140 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
              .view(np.uint64) % 256).astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
-    def bucket_pairs(g: _pd.DataFrame) -> _pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # anchor pairing (min id vs rest) per LSH bucket keeps candidates
         # linear in bucket size; transitive links come from other bands +
-        # union-find
+        # the components pass
         g = g.sort_values(["band", "band_hash", id_col])
         first = g.groupby(["band", "band_hash"])[id_col].transform("first")
         hits = g[g[id_col] != first]
-        return _pd.DataFrame({"a": first[g[id_col] != first].to_numpy(),
-                              "b": hits[id_col].to_numpy()})
+        return pd.DataFrame({"a": first[g[id_col] != first].to_numpy(),
+                             "b": hits[id_col].to_numpy()}
+                            ).drop_duplicates()
 
     cand = (band_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-            ).to_pandas()
-    cand = cand.drop_duplicates()
+            ).materialize()
+    ids_ds = ds.map_batches(lambda t: t.select([id_col]),
+                            batch_format="pyarrow")
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        clusters = pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                                 "cluster": pd.Series([], dtype=np.int64)})
+        return clusters, ids_ds
 
-    # ONE pass collects all ids (for the kept-set) AND candidate texts
-    # (small side: only candidate rows' text reaches the driver)
-    cand_set = set(cand["a"]) | set(cand["b"]) if len(cand) else set()
-    texts: dict = {}
-    all_ids: list = []
-    for b in ds.map_batches(lambda t: t.select([id_col, col]),
-                            batch_format="pyarrow").iter_batches(
-                                batch_size=8192, batch_format="pyarrow"):
-        ids = b.column(id_col).to_pylist()
-        all_ids.extend(ids)
-        if cand_set:
-            for i, t in zip(ids, b.column(col).to_pylist()):
-                if i in cand_set:
-                    texts[i] = t
+    # the same (a, b) pair can surface from bands whose rows landed in
+    # DIFFERENT coarse buckets: dedupe pairs with a bucketed exchange keyed
+    # on the pair itself
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        h = (SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b")))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
 
-    if len(cand):
-        shingle_cache = {i: set(word_shingles(t, shingle).tolist())
-                         for i, t in texts.items()}
-        uf = _UnionFind()
-        for a, b in zip(cand["a"], cand["b"]):
-            sa, sb = shingle_cache[a], shingle_cache[b]
-            union_n = len(sa | sb)
-            if union_n and len(sa & sb) / union_n >= threshold:
-                uf.union(a, b)
-            elif not union_n:
-                uf.union(a, b)  # both empty: Jaccard defined as 1
-        roots = {i: uf.find(i) for i in uf.parent}
-        clusters = _pd.DataFrame(
-            {"id": list(roots), "cluster": [roots[i] for i in roots]})
-        clusters = clusters[clusters.groupby("cluster")["cluster"].transform("size") > 1]
-    else:
-        clusters = _pd.DataFrame({"id": [], "cluster": []})
+    pairs = (cand.map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda g: g[["a", "b"]].drop_duplicates(),
+                         batch_format="pandas")).materialize()
 
-    drop = set(clusters.loc[clusters["id"] != clusters["cluster"], "id"])
-    kept = sorted(set(all_ids) - drop)
-    return clusters.sort_values("id").reset_index(drop=True), kept
+    # Bloom of candidate ids, built from per-block partials merged tree-wise
+    # (fixed-size state; the id list itself never aggregates anywhere)
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bl = SK.Bloom(max(1024, 2 * n_pairs), 1e-3)
+        bl.add_hashes(SK.hash64_array(t.column("a")))
+        bl.add_hashes(SK.hash64_array(t.column("b")))
+        return pa.table({"blob": pa.array([pickle.dumps(bl, protocol=5)],
+                                          type=pa.binary())})
+
+    blooms = [pickle.loads(r["blob"]) for r in
+              pairs.map_batches(bloom_partial,
+                                batch_format="pyarrow").take_all()]
+    bloom_ref = ray.put(tree_reduce(blooms, lambda x, y: x.merge(y)))
+
+    class CandTexts:
+        """Bloom-restricted projection: only candidate rows' (id, text)
+        continue into the joins (false positives just join away)."""
+
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = self.bloom.contains_hashes(SK.hash64_array(t.column(id_col)))
+            return t.select([id_col, col]).filter(pa.array(m))
+
+    cand_docs = ds.map_batches(CandTexts, batch_format="pyarrow",
+                               concurrency=concurrency).materialize()
+
+    # hash-join each pair to its two texts (pairs and candidate texts only —
+    # non-candidate payload never enters an exchange)
+    p1 = pairs.map_batches(
+        lambda t: pa.table({id_col: t.column("a"), "b": t.column("b")}),
+        batch_format="pyarrow")
+    # materialize between the two joins: chaining two groupby exchanges into
+    # one streaming job can wedge the pull-based shuffle scheduler at small
+    # CPU counts, and the intermediate is pair-sized anyway
+    j1 = hash_join(p1, cand_docs, key=id_col, left_cols=["b"],
+                   right_cols=[col], n_buckets=n_buckets).materialize()
+    p2 = j1.map_batches(
+        lambda t: pa.table({"a": t.column(id_col), id_col: t.column("b"),
+                            "text_a": t.column(col)}),
+        batch_format="pyarrow")
+    j2 = hash_join(p2, cand_docs, key=id_col, left_cols=["a", "text_a"],
+                   right_cols=[col], n_buckets=n_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ta, tb = t.column("text_a").to_pylist(), t.column(col).to_pylist()
+        keep = np.empty(len(ta), dtype=bool)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa = set(word_shingles(x, shingle).tolist())
+            sb = set(word_shingles(y, shingle).tolist())
+            un = len(sa | sb)
+            keep[i] = (un == 0) or (len(sa & sb) / un >= threshold)
+        return pa.table({"a": t.column("a").filter(pa.array(keep)),
+                         "b": t.column(id_col).filter(pa.array(keep))})
+
+    edges = j2.map_batches(verify, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        clusters = pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                                 "cluster": pd.Series([], dtype=np.int64)})
+        return clusters, ids_ds
+
+    # components by min-label propagation; every labeled node has >= 1
+    # verified edge, so every component has size >= 2 by construction
+    labels = connected_components(edges, n_buckets=n_buckets)
+    clusters = (labels.to_pandas()
+                .rename(columns={"node": "id", "label": "cluster"})
+                .astype({"id": np.int64, "cluster": np.int64})
+                .sort_values("id").reset_index(drop=True))
+
+    # kept = ids minus cluster non-representatives, as a distributed
+    # anti-join (no driver id set)
+    drop_ds = labels.filter(expr="node != label").map_batches(
+        lambda t: pa.table({id_col: t.column("node")}), batch_format="pyarrow")
+    kept_ds = hash_join(ids_ds, drop_ds, key=id_col, left_cols=[],
+                        right_cols=[], n_buckets=n_buckets, how="left_anti")
+    return clusters, kept_ds
 
 
 class SimHashStage:
-    """Actor stage: text -> 64-bit simhash fingerprint column."""
+    """Actor stage: text -> 64-bit simhash fingerprint column.
+
+    Token hashes for the whole batch flatten into one hash64_array call and
+    one segment-reduce (sketches.simhash64_many) — no per-doc loop."""
 
     def __init__(self, col: str = "text"):
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.col).to_pylist()
-        fps = np.array([
-            SK.simhash64(SK.hash64_array(_WORD_RE.findall(t or "")) if t else
-                         np.empty(0, np.uint64))
-            for t in texts], dtype=np.int64)
+        toks: list[str] = []
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t:
+                toks.extend(_WORD_RE.findall(t))
+            offsets[i + 1] = len(toks)
+        flat = (SK.hash64_array(np.array(toks, dtype=object))
+                if toks else np.empty(0, np.uint64))
+        fps = SK.simhash64_many(flat, offsets)
         return batch.append_column("simhash", pa.array(fps))
 
 
@@ -269,19 +357,17 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         s = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = batch.column(id_col).to_pylist()
-        outc, outv, outi, outs = [], [], [], []
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         u = s.view(np.uint64)
-        for c in range(4):
-            chunk = ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
-            outc.extend([c] * len(ids))
-            outv.extend(chunk.tolist())
-            outi.extend(ids)
-            outs.extend(s.tolist())
-        return pa.table({"chunk": pa.array(outc, type=pa.int32()),
-                         "val": pa.array(outv, type=pa.int32()),
-                         id_col: pa.array(outi),
-                         "simhash": pa.array(outs, type=pa.int64())})
+        n = len(s)
+        chunks = np.repeat(np.arange(4, dtype=np.int32), n)
+        vals = np.concatenate([
+            ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
+            for c in range(4)])
+        return pa.table({"chunk": pa.array(chunks),
+                         "val": pa.array(vals),
+                         id_col: pa.array(np.tile(ids, 4)),
+                         "simhash": pa.array(np.tile(s, 4), type=pa.int64())})
 
     import pandas as _pd
 

@@ -31,6 +31,9 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
 
     Returns a Dataset with columns ``left_cols + right_cols`` (key included
     once).  Rows are matched exactly (pandas merge semantics per bucket).
+    ``how="left_anti"`` keeps left rows with NO match on the right and
+    returns only the left columns — the distributed anti-join used by the
+    dedup kept-set computation.
     """
     lcols = [key] + [c for c in left_cols if c != key]
     rcols = [key] + [c for c in right_cols if c != key]
@@ -83,7 +86,10 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g.loc[g["__side"] == "l", lcols]
         rpart = g.loc[g["__side"] == "r", rcols]
-        out = lpart.merge(rpart, on=key, how=how)
+        if how == "left_anti":
+            out = lpart[~lpart[key].isin(rpart[key])]
+        else:
+            out = lpart.merge(rpart, on=key, how=how)
         for c in int_cols:
             if c in out.columns and out[c].notna().all():
                 out[c] = out[c].astype(np.int64)

@@ -248,6 +248,35 @@ class MinHasher:
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def signature_many(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Signatures for a whole batch at once: ``flat`` holds every doc's
+        shingle hashes concatenated, ``offsets`` (n_docs+1) delimits them.
+        ONE permutation matrix op + segment-min (np.minimum.reduceat) per
+        chunk replaces the per-doc loop; bit-identical to :meth:`signature`.
+        Chunked over doc-aligned shingle ranges so the (k, chunk) transient
+        stays ~1 MB — cache-resident; bigger chunks measured 2-8x slower."""
+        n = len(offsets) - 1
+        out = np.full((n, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(flat) == 0:
+            return out
+        h = flat.astype(np.uint64, copy=False) & _MERSENNE
+        offsets = np.asarray(offsets, dtype=np.int64)
+        chunk = max(1, (1 << 17) // self.k)  # shingles per matrix op
+        d0 = 0
+        while d0 < n:
+            d1 = int(np.searchsorted(offsets, offsets[d0] + chunk, side="right")) - 1
+            d1 = min(max(d1, d0 + 1), n)
+            s0, s1 = offsets[d0], offsets[d1]
+            if s1 > s0:
+                vals = (self.a[:, None] * h[None, s0:s1] + self.b[:, None]) % _MERSENNE
+                local = offsets[d0:d1 + 1] - s0
+                ne = local[:-1] < local[1:]
+                if ne.any():
+                    mins = np.minimum.reduceat(vals, local[:-1][ne], axis=1)
+                    out[np.arange(d0, d1)[ne]] = mins.T
+            d0 = d1
+        return out
+
 
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.int64:
     """64-bit SimHash of a token hash multiset."""
@@ -262,6 +291,41 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np
         if score[i] > 0:
             out |= np.uint64(1) << np.uint64(i)
     return out.astype(np.int64)
+
+
+def simhash64_many(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """SimHash for a whole batch: ``flat`` = all docs' token hashes
+    concatenated, ``offsets`` (n_docs+1).  Per-bit ones-counts via ONE
+    np.add.reduceat per chunk; bit i set iff 2*ones - n_tokens > 0 —
+    bit-identical to :func:`simhash64` with unit weights (empty doc -> 0).
+    Chunked over doc-aligned token ranges so the (chunk, 64) bit-matrix
+    stays ~2 MB — cache-resident; bigger chunks measured up to 10x slower."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int64)
+    if len(flat) == 0:
+        return out
+    h = flat.astype(np.uint64, copy=False)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    chunk = 1 << 12  # tokens per bit-matrix op
+    d0 = 0
+    while d0 < n:
+        d1 = int(np.searchsorted(offsets, offsets[d0] + chunk, side="right")) - 1
+        d1 = min(max(d1, d0 + 1), n)
+        s0, s1 = offsets[d0], offsets[d1]
+        if s1 > s0:
+            bits = ((h[s0:s1, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            local = offsets[d0:d1 + 1] - s0
+            ne = local[:-1] < local[1:]
+            if ne.any():
+                ones = np.add.reduceat(bits, local[:-1][ne], axis=0)  # (ne, 64)
+                cnt = (local[1:] - local[:-1])[ne]
+                pos = (2 * ones - cnt[:, None]) > 0
+                packed = (pos.astype(np.uint64) * powers[None, :]).sum(axis=1)
+                out[np.arange(d0, d1)[ne]] = packed.astype(np.uint64).view(np.int64)
+        d0 = d1
+    return out
 
 
 _POPCOUNT_LUT = np.unpackbits(

@@ -35,7 +35,8 @@ def test_exact_dedupe(docs_ds):
 
 
 def test_minhash_lsh_matches_bruteforce(docs_ds):
-    clusters, kept = DD.minhash_dedupe(docs_ds, threshold=0.5, concurrency=2)
+    clusters, kept_ds = DD.minhash_dedupe(docs_ds, threshold=0.5, concurrency=2)
+    kept = set(kept_ds.to_pandas()["doc_id"])
     texts = dict(zip(docs_ds.to_pandas()["doc_id"], docs_ds.to_pandas()["text"]))
     brute = DD.ngram_jaccard_pairs_bruteforce(texts, threshold=0.5)
     # every brute-force pair must land in the same LSH cluster

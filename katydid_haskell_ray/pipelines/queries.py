@@ -24,6 +24,7 @@ import ray.data
 
 from katydid_haskell_ray.functions import text as TX
 from katydid_haskell_ray.sources import synth_images as SI
+from katydid_haskell_ray.stages.util import auto_concurrency as _AC
 from katydid_haskell_ray.stages import dedupe as DD
 from katydid_haskell_ray.stages import keys as K
 from katydid_haskell_ray.stages import similarity as SIM
@@ -126,7 +127,7 @@ def q3_join_revenue(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     with_seg = orders.map_batches(AddSegment, batch_format="pandas",
-                                  concurrency=2)
+                                  concurrency=_AC())
     return grouped_sum(with_seg, ["c_mktsegment"],
                        {"revenue_cents": "revenue_cents"}, count_as="n_orders")
 
@@ -139,9 +140,10 @@ def top_orders(sf_dir: str):
         return (b.drop_columns(["o_totalprice"])
                 .append_column("total_cents", pa.array(cents)))
 
-    return (ds.map_batches(to_cents, batch_format="pyarrow")
-            .sort(["total_cents", "o_orderkey"], descending=[True, False])
-            .limit(10))
+    from katydid_haskell_ray.stages.topk import topk_rows
+    return topk_rows(ds.map_batches(to_cents, batch_format="pyarrow"),
+                     k=10, by=["total_cents", "o_orderkey"],
+                     ascending=[False, True])
 
 
 def filter_docs(sf_dir: str):
@@ -270,7 +272,7 @@ def simhash_docs(sf_dir: str):
     """(doc_id, simhash) fingerprints (no SQL oracle — deterministic rows)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(DD.SimHashStage, batch_format="pyarrow",
-                          concurrency=4).select_columns(["doc_id", "simhash"])
+                          concurrency=_AC()).select_columns(["doc_id", "simhash"])
 
 
 def langid_docs(sf_dir: str):
@@ -297,7 +299,7 @@ def _query_vecs(sf_dir: str):
 def knn_brute(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids, qvecs = _query_vecs(sf_dir)
-    out = SIM.knn_topk(ds, qids, qvecs, k=5, concurrency=2)
+    out = SIM.knn_topk(ds, qids, qvecs, k=5, concurrency=_AC())
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 
@@ -306,13 +308,13 @@ def knn_lsh(sf_dir: str):
     in tests)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids, qvecs = _query_vecs(sf_dir)
-    out = SIM.knn_topk_lsh(ds, qids, qvecs, k=5, concurrency=2)
+    out = SIM.knn_topk_lsh(ds, qids, qvecs, k=5, concurrency=_AC())
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 
 def cosine_pairs(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = SIM.cosine_near_pairs(ds, threshold=0.40, concurrency=2)
+    out = SIM.cosine_near_pairs(ds, threshold=0.40)
     return out[["a", "b"]].astype(np.int64)
 
 
@@ -321,28 +323,35 @@ def cosine_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def images_stats(sf_dir: str):
-    path = images_parquet(sf_dir)
-    ds = ray.data.read_parquet(path, columns=["w", "h", "phash"])
+def stats_partial(b: pa.Table, cols=("w", "h", "phash")) -> pa.Table:
+    """Per-block (col, n, nulls, min, max) partial for the stats groupby."""
+    rows = []
+    for col in cols:
+        arr = b.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = arr.drop_null()
+        v = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+        # an all-null block has no min/max: neutral elements let the
+        # global Min/Max aggregate ignore this partial
+        rows.append({"col": col, "n": len(arr),
+                     "nulls": arr.null_count,
+                     "min_v": int(v.min()) if len(v) else np.iinfo(np.int64).max,
+                     "max_v": int(v.max()) if len(v) else np.iinfo(np.int64).min})
+    return pa.Table.from_pylist(rows)
 
-    def partial(b: pa.Table) -> pa.Table:
-        rows = []
-        for col in ("w", "h", "phash"):
-            arr = b.column(col)
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            valid = arr.drop_null()
-            v = valid.to_numpy(zero_copy_only=False).astype(np.int64)
-            rows.append({"col": col, "n": len(arr),
-                         "nulls": arr.null_count,
-                         "min_v": int(v.min()), "max_v": int(v.max())})
-        return pa.Table.from_pylist(rows)
 
+def stats_rollup(ds):
     from ray.data.aggregate import Max, Min, Sum
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(stats_partial, batch_format="pyarrow")
     return partials.groupby("col").aggregate(
         Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"),
         Min("min_v", alias_name="min_v"), Max("max_v", alias_name="max_v"))
+
+
+def images_stats(sf_dir: str):
+    path = images_parquet(sf_dir)
+    return stats_rollup(ray.data.read_parquet(path, columns=["w", "h", "phash"]))
 
 
 def images_uniqueness(sf_dir: str):
@@ -392,7 +401,7 @@ def images_decode_checks(sf_dir: str):
     ds = ray.data.read_parquet(images_parquet(sf_dir))
     return ds.map_batches(
         DecodeValidator, batch_format="pyarrow", batch_size=512,
-        concurrency=2, num_cpus=1,
+        concurrency=_AC(), num_cpus=1,
     ).select_columns(["image_id", "check_decodes", "check_dims",
                       "check_fmt_magic", "check_phash"])
 
@@ -401,7 +410,7 @@ def images_features(sf_dir: str):
     """Multimodal decode -> thumbnail + feature plumbing (no SQL oracle)."""
     ds = ray.data.read_parquet(images_parquet(sf_dir))
     return ds.map_batches(ImageOps, batch_format="pyarrow", batch_size=512,
-                          concurrency=2).select_columns(
+                          concurrency=_AC()).select_columns(
         ["image_id", "feat", "decode_ok"])
 
 
@@ -437,7 +446,7 @@ def supplier_nation_rollup(sf_dir: str):
 
     sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     return grouped_sum(sup.map_batches(AddRegion, batch_format="pandas",
-                                       concurrency=2),
+                                       concurrency=_AC()),
                        ["r_name"], {"bal_cents": "bal_cents"},
                        count_as="n_suppliers")
 
@@ -465,7 +474,7 @@ def top_orders_per_segment(sf_dir: str):
         return g
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    return (orders.map_batches(Prep, batch_format="pandas", concurrency=2)
+    return (orders.map_batches(Prep, batch_format="pandas", concurrency=_AC())
             .groupby("c_mktsegment").map_groups(top2, batch_format="pandas"))
 
 
@@ -498,7 +507,7 @@ def events_props_valid(sf_dir: str):
     out = ds.map_batches(
         TreeConstraints,
         fn_constructor_args=(spec_doc, {"props_k": ("props", "json")}),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=_AC())
     return out.select_columns(["event_id", "pass"])
 
 
@@ -581,7 +590,7 @@ def images_caption_ref(sf_dir: str):
 
     ds = ray.data.read_parquet(images_parquet(sf_dir),
                                columns=["image_id", "caption"])
-    return ds.map_batches(RefCheck, batch_format="pandas", concurrency=2)
+    return ds.map_batches(RefCheck, batch_format="pandas", concurrency=_AC())
 
 
 # IMAGES_GRAMMAR lives in pipelines.validate (single source of truth)

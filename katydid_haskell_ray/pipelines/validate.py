@@ -193,7 +193,9 @@ def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
                 return b.append_column("check_caption_ref",
                                        pa.array(ok.to_numpy(dtype=bool)))
 
-        ds = ds.map_batches(CaptionRef, batch_format="pyarrow", concurrency=2)
+        from katydid_haskell_ray.stages.util import auto_concurrency
+        ds = ds.map_batches(CaptionRef, batch_format="pyarrow",
+                            concurrency=auto_concurrency(None))
     if decode_concurrency is None:
         # stateless tasks on the warm worker pool: the decoder holds no real
         # per-actor state (codecs are module functions cached per process),

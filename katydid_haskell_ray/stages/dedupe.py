@@ -159,10 +159,8 @@ def lsh_band_rows(batch: pa.Table, *, bands: int, rows_per_band: int,
 
 
 def _auto_concurrency(requested):
-    if requested is not None:
-        return requested
-    import ray
-    return max(2, min(8, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    from katydid_haskell_ray.stages.util import auto_concurrency
+    return auto_concurrency(requested)
 
 
 def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",

@@ -128,4 +128,6 @@ def asof_lookup(ds, *, ts_col: str, timeline: np.ndarray,
             arr = pa.array(vals, mask=~ok)
             return b.append_column(out_col, arr)
 
-    return ds.map_batches(AsOf, batch_format="pyarrow", concurrency=2)
+    from katydid_haskell_ray.stages.util import auto_concurrency
+    return ds.map_batches(AsOf, batch_format="pyarrow",
+                          concurrency=auto_concurrency(None))

@@ -6,19 +6,22 @@
   (k × queries rows per block — tiny).  No shuffle, no materialization.
 - :class:`LSHBucketStage` + :func:`knn_topk_lsh` — the scale path: random-
   hyperplane LSH buckets restrict candidates before the exact rerank.
-- :func:`cosine_near_pairs` — embedding-cosine near-dup pairs (all pairs
-  with similarity >= threshold) via blockwise matmul against a broadcast
-  matrix (fine while one side fits a worker; shard the broadcast side for
-  larger tables).
+- :func:`cosine_near_pairs` — exact embedding-cosine near-dup pairs: the
+  normalized blocks live once in the Ray object store; scorers map the
+  shared blocks zero-copy (refs travel, never a driver matrix) and matmul
+  chunk-by-chunk.
 """
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 import ray
+
+
+def _sim_concurrency(requested):
+    from katydid_haskell_ray.stages.util import auto_concurrency
+    return auto_concurrency(requested)
 
 
 def _embed_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -67,7 +70,7 @@ class TopKScorer:
 
 def knn_topk(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
              col: str = "embedding", id_col: str = "vec_id",
-             concurrency: int = 4):
+             concurrency: int | None = None):
     """Brute-force cosine top-k; returns a pandas frame
     (query_id, id, sim, rank) with rank 1..k per query (ties broken by id)."""
     import pandas as pd
@@ -77,7 +80,8 @@ def knn_topk(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
     ref = ray.put(q)
     local = ds.map_batches(
         TopKScorer, fn_constructor_args=(ref, k, col, id_col),
-        batch_format="pyarrow", concurrency=concurrency).to_pandas()
+        batch_format="pyarrow",
+        concurrency=_sim_concurrency(concurrency)).to_pandas()
     local["sim"] = local["sim"].round(6)  # stable across summation orders
     local = local.sort_values(["query_id", "sim", id_col],
                               ascending=[True, False, True])
@@ -110,7 +114,7 @@ def make_planes(dim: int, nbits: int = 8, seed: int = 11) -> np.ndarray:
 
 def knn_topk_lsh(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
                  nbits: int = 6, col: str = "embedding", id_col: str = "vec_id",
-                 concurrency: int = 4, probe_hamming: int = 1):
+                 concurrency: int | None = None, probe_hamming: int = 1):
     """Approximate top-k: score only rows whose LSH bucket is within
     ``probe_hamming`` bits of the query's bucket (multi-probe)."""
     import pandas as pd
@@ -170,7 +174,7 @@ def knn_topk_lsh(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
                              "sim": pa.array(out_sim, type=pa.float64())})
 
     local = ds.map_batches(BucketScorer, batch_format="pyarrow",
-                           concurrency=concurrency).to_pandas()
+                           concurrency=_sim_concurrency(concurrency)).to_pandas()
     local["sim"] = local["sim"].round(6)
     local = local.sort_values(["query_id", "sim", id_col],
                               ascending=[True, False, True])
@@ -180,41 +184,68 @@ def knn_topk_lsh(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
 
 
 def cosine_near_pairs(ds, *, threshold: float = 0.95, col: str = "embedding",
-                      id_col: str = "vec_id", concurrency: int = 4):
-    """All (a, b, sim) pairs with cosine >= threshold, a < b.
+                      id_col: str = "vec_id", concurrency: int | None = None):
+    """All (a, b, sim) pairs with cosine >= threshold, a < b — exact.
 
-    The full (small-side) matrix is broadcast once; each batch matmuls
-    against it.  Partitioning assumption: the broadcast side fits worker
-    memory (N×d float32) — for bigger tables, tile the broadcast side."""
+    Self-join by object-store broadcast: the projected, pre-normalized
+    (id, embedding) blocks are materialized ONCE in the Ray object store and
+    only their refs travel; each scorer actor maps the shared blocks
+    zero-copy (one physical copy per node, never a driver-side matrix) and
+    matmuls its batches against one chunk at a time.  Partitioning
+    assumption: the table's float32 matrix fits a node's object store.
+    Exact all-pairs is inherently O(N²/cluster) compute — for web-scale
+    tables restrict candidates first (:class:`LSHBucketStage` /
+    :func:`knn_topk_lsh`) and accept approximate recall."""
     import pandas as pd
 
-    full_ids, mats = [], []
-    for b in ds.select_columns([id_col, col]).iter_batches(
-            batch_size=16384, batch_format="pyarrow"):
-        full_ids.extend(b.column(id_col).to_pylist())
-        mats.append(_normalize(_embed_matrix(b, col)))
-    all_mat = np.vstack(mats)
-    all_ids = np.asarray(full_ids)
-    ref = ray.put({"ids": all_ids, "mat": all_mat})
+    def pack(b: pa.Table) -> pa.Table:
+        m = _normalize(_embed_matrix(b, col))
+        return pa.table({
+            "id": b.column(id_col).cast(pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), type=pa.float32()), m.shape[1]),
+        })
+
+    packed = ds.select_columns([id_col, col]).map_batches(
+        pack, batch_format="pyarrow").materialize()
+    chunk_refs = packed.to_arrow_refs()
 
     class PairFinder:
         def __init__(self):
-            d = ray.get(ref)
-            self.ids, self.mat = d["ids"], d["mat"]
+            self.chunks = []
+            for r in chunk_refs:
+                t = ray.get(r)  # zero-copy view of the shared block
+                if len(t) == 0:
+                    continue
+                vec = t.column("vec")
+                if isinstance(vec, pa.ChunkedArray):
+                    vec = vec.combine_chunks()
+                mat = vec.flatten().to_numpy(zero_copy_only=False) \
+                    .reshape(len(t), -1)
+                ids = t.column("id").to_numpy(zero_copy_only=False)
+                self.chunks.append((ids, mat))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_embed_matrix(batch, col))
-            bids = np.asarray(batch.column(id_col).to_pylist())
-            sims = m @ self.mat.T
-            ri, ci = np.nonzero(sims >= threshold)
-            a, bb = bids[ri], self.ids[ci]
-            keep = a < bb
-            return pa.table({
-                "a": pa.array(a[keep].tolist(), type=pa.int64()),
-                "b": pa.array(bb[keep].tolist(), type=pa.int64()),
-                "sim": pa.array(np.round(sims[ri, ci][keep].astype(np.float64), 6)),
-            })
+            m = _embed_matrix(batch, "vec")  # already normalized by pack
+            bids = batch.column("id").to_numpy(zero_copy_only=False)
+            out_a, out_b, out_s = [], [], []
+            for ids, mat in self.chunks:
+                sims = m @ mat.T
+                ri, ci = np.nonzero(sims >= threshold)
+                a, bb = bids[ri], ids[ci]
+                keep = a < bb
+                out_a.append(a[keep])
+                out_b.append(bb[keep])
+                out_s.append(sims[ri, ci][keep].astype(np.float64))
+            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            s = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+            return pa.table({"a": pa.array(a, type=pa.int64()),
+                             "b": pa.array(b, type=pa.int64()),
+                             "sim": pa.array(np.round(s, 6))})
 
-    out = ds.map_batches(PairFinder, batch_format="pyarrow",
-                         concurrency=concurrency).to_pandas()
+    out = packed.map_batches(
+        PairFinder, batch_format="pyarrow",
+        concurrency=_sim_concurrency(concurrency),
+        fn_constructor_args=()).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)

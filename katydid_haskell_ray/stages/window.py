@@ -46,29 +46,47 @@ def tumbling_aggregate(ds, *, width_s: int = 3600, keys=("event_type",),
 
 
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
-               gap_s: int = 1800):
+               gap_s: int = 1800, n_buckets: int = 64):
     """Session windows per key: a new session starts when the gap from the
-    previous event exceeds ``gap_s``.  Per-key sorted map_groups (the
-    ordering assumption: within one group, events are sorted here, not
-    upstream).  Returns (user_id, session_id, session_start, session_end,
-    n_events).
+    previous event exceeds ``gap_s``.  Returns (user_id, session_seq,
+    session_start, session_end, n_events).
+
+    Scale shape: a groupby per KEY would invoke Python once per key; this
+    shuffles on a coarse hash bucket of the key (n_buckets groups total)
+    and runs ONE vectorized pandas pass per bucket — sort by (key, ts),
+    boundary flags where the key changes or the gap exceeds gap_s, a single
+    C-speed groupby over (key, session).
 
     SQL-equivalent (oracle): lag + cumulative-sum-of-boundary-flags window
     functions."""
+    from katydid_haskell_ray.state import sketches as SK
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (SK.hash64_array(t.column(key))
+             % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
         ts = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        k = g[key].to_numpy()
         new_sess = np.ones(len(g), dtype=np.int64)
-        new_sess[1:] = (ts[1:] - ts[:-1] > gap_s).astype(np.int64)
-        sess = np.cumsum(new_sess)
-        out = g.assign(session_seq=sess).groupby("session_seq").agg(
+        if len(g) > 1:
+            new_sess[1:] = ((k[1:] != k[:-1])
+                            | (ts[1:] - ts[:-1] > gap_s)).astype(np.int64)
+        sid = np.cumsum(new_sess)
+        d = g.assign(__sid=sid)
+        first = d.groupby(key, sort=False)["__sid"].transform("min").to_numpy()
+        d["session_seq"] = sid - first + 1
+        out = d.groupby([key, "session_seq"], sort=False).agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
             n_events=(ts_col, "size"),
         ).reset_index()
-        out[key] = g[key].iloc[0]
-        return out[[key, "session_seq", "session_start", "session_end", "n_events"]]
+        return out[[key, "session_seq", "session_start", "session_end",
+                    "n_events"]]
 
-    return ds.select_columns([key, ts_col]).groupby(key).map_groups(
-        per_key, batch_format="pandas")
+    bucketed = ds.select_columns([key, ts_col]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")

@@ -194,3 +194,19 @@ def test_asof_lookup(ray_session):
         .to_pandas().sort_values("id")
     assert out["last"].tolist()[1:] == [100, 200, 300]
     assert pd.isna(out["last"].iloc[0])  # before the first timeline entry
+
+
+def test_stats_partial_all_null_block(ray_session):
+    """The stats partial must not crash on an all-null chunk and its
+    neutral elements must not perturb the global min/max."""
+    import ray.data
+    import katydid_haskell_ray.pipelines.queries as Q
+    t_null = pa.table({"w": pa.array([None, None], type=pa.int64()),
+                       "h": pa.array([None, None], type=pa.int64()),
+                       "phash": pa.array([None, None], type=pa.int64())})
+    t_val = pa.table({"w": pa.array([3, 9], type=pa.int64()),
+                      "h": pa.array([4, 2], type=pa.int64()),
+                      "phash": pa.array([7, 8], type=pa.int64())})
+    out = Q.stats_rollup(ray.data.from_arrow([t_null, t_val])).to_pandas()
+    w = out[out["col"] == "w"].iloc[0]
+    assert (w["n"], w["nulls"], w["min_v"], w["max_v"]) == (4, 2, 3, 9)

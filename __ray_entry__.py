@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": Q.top_orders_per_segment,
         "part_filter_like": Q.part_filter_like,
         "events_props_valid": Q.events_props_valid,
+        "props_name_choice": Q.props_name_choice,
         "isprime_quantity": Q.isprime_quantity,
         "order_priority_revenue": Q.order_priority_revenue,
         "events_asof_order": Q.events_asof_order,
@@ -243,6 +244,12 @@ def oracle_sql() -> dict[str, str]:
         "part_filter_like": """
             SELECT p_partkey, p_brand, p_size FROM part
             WHERE p_type LIKE '%O%' AND p_size IN (5, 15, 25)
+        """,
+        "props_name_choice": """
+            SELECT event_id,
+                   COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) <= 50,
+                            FALSE) AS pass
+            FROM events
         """,
         "events_props_valid": """
             SELECT event_id,

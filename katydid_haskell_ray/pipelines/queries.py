@@ -511,38 +511,28 @@ def events_props_valid(sf_dir: str):
     return out.select_columns(["event_id", "pass"])
 
 
+def props_name_choice(sf_dir: str):
+    """Name-choice grammar written in the CONCRETE Relapse syntax —
+    "(j|k): <= 50" (name choices, Parser.hs:351-361) — validated per row
+    over the events props JSON by the derivative automaton; oracle via
+    DuckDB json_extract (props always carry a single field named k)."""
+    from katydid_haskell_ray.relapse_parser import parse as rp_parse
+    from katydid_haskell_ray.stages.constraint import TreeConstraints
+
+    spec_doc = rp_parse("(j|k): <= 50")
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = ds.map_batches(
+        TreeConstraints,
+        fn_constructor_args=(spec_doc, {"name_choice": ("props", "json")}),
+        batch_format="pyarrow", concurrency=_AC())
+    return out.select_columns(["event_id", "pass"])
+
+
 def _ensure_isprime():
-    """Register the isPrime example UDF (idempotent; called in each worker
-    process because the UDF registry is per-process state)."""
-    from katydid_haskell_ray.exprs import core as E
-
-    if "isPrime" not in E.UDFS:
-        def mk(args):
-            if len(args) != 1 or args[0].vtype != "int":
-                raise E.BuildError("isPrime: wants one int arg")
-            return E._mk_plain("isPrime", "bool", args)
-
-        def scalar(a):
-            if E.is_err(a):
-                return E.ERR
-            if a < 2:
-                return False
-            return all(a % d for d in range(2, int(a ** 0.5) + 1))
-
-        def vector(n, a):
-            va, ea = a
-            va = np.broadcast_to(np.asarray(va, dtype=np.int64), (n,))
-            if (va >= 121).any():  # sieve below only exhaustive for < 121
-                return E._vector_via_scalar(E.UDFS["isPrime"], n, [a], "bool")
-            out = np.ones(n, dtype=bool)
-            out[va < 2] = False
-            for d in (2, 3, 5, 7):
-                out &= (va == d) | (va % d != 0) | (va < 2)
-            if ea is not None:
-                out &= ~ea
-            return out, ea
-
-        E.register_udf("isPrime", mk, scalar, vector)
+    """Register the example UDF library (registry is per-process state —
+    called inside the map function, in each worker)."""
+    from katydid_haskell_ray.exprs.userlib import ensure_userlib
+    ensure_userlib()
 
 
 def isprime_quantity(sf_dir: str):

@@ -13,9 +13,12 @@ test/ParserSpec.hs):
               | '[' pattern (',' pattern)* ']'        -- concat
               | '{' pattern (';' pattern)* '}'        -- interleave
               | name ':' pattern                      -- node
+              | name ('[' .. | '{' .. | '.' ..)      -- node, colon-free
               | BUILTIN literal                       -- leaf w/ builtin op
               | '->' funcexpr                         -- leaf w/ function
-    name     := identifier | '_' | string | int
+    name     := identifier | '_' | string | int | double | true | false
+              | '!' '(' name ')'                      -- name negation
+              | '(' name ('|' name)+ ')'              -- name choice
     BUILTIN  := '==' '!=' '<' '>' '<=' '>=' '~=' '*=' '^=' '$=' '::'
     funcexpr := ident '(' arg (',' arg)* ')' ; arg := '$'type | literal
               | funcexpr
@@ -25,11 +28,10 @@ test/ParserSpec.hs):
 
 Line (`//`) and block (`/* */`) comments are whitespace.
 
-Not covered (rejected with a clear error): name-choice expressions
-`(a|b):p`, typed casts, list literals beyond []byte — the semantic
-operator set is already fully reachable through the JSON DSL (SURVEY.md
-§2.2); this module exists so grammars written in the reference's own
-syntax run unmodified.
+Not covered (rejected with a clear error): typed casts and list literals
+beyond []byte — the semantic operator set is already fully reachable
+through the JSON DSL (SURVEY.md §2.2); this module exists so grammars
+written in the reference's own syntax run unmodified.
 """
 
 from __future__ import annotations
@@ -205,6 +207,13 @@ class _Parser:
             self.next()
             return "empty"
         if v == "!":
+            # treenode is tried before pattern-not (Parser.hs:445-447:
+            # "!(A):*" is a node with a negated NAME, "!(*)" a pattern not)
+            save = self.i
+            try:
+                return self._node_tail(self._name_expr())
+            except RelapseSyntaxError:
+                self.i = save
             self.next()
             self.expect("(")
             p = self.pattern()
@@ -220,6 +229,13 @@ class _Parser:
                 raise RelapseSyntaxError(f"expected ref name, got {name!r}")
             return {"ref": name}
         if v == "(":
+            # name-choice node "(a|b):p" (Parser.hs:351-361) vs pattern
+            # group "(p|q)": try the name expression first, backtrack
+            save = self.i
+            try:
+                return self._node_tail(self._name_expr())
+            except RelapseSyntaxError:
+                self.i = save
             return self._group()
         if v == "[":
             return self._list("[", "]", ",", "concat")
@@ -233,7 +249,12 @@ class _Parser:
             return {"leaf": self.funcexpr()}
         # name ':' pattern  (node), or  name BUILTIN literal / name -> func
         # (leaf sugar: `A == "x"` — Parser.hs treeNode alternatives)
-        name_expr = self._name()
+        return self._node_tail(self._name_expr())
+
+    def _node_tail(self, name_expr):
+        """Parse the child of a tree node: ':' pattern, a depth pattern
+        ([..] {..} .p) without a colon, or the builtin/-> leaf sugar
+        (Parser.hs _treenodePattern/_depthPattern, :417-431)."""
         kind, v = self.peek()
         if kind == "builtin":
             self.next()
@@ -241,6 +262,8 @@ class _Parser:
         elif kind == "arrow":
             self.next()
             child = {"leaf": self.funcexpr()}
+        elif v in ("[", "{", "."):
+            child = self.pattern()
         else:
             self.expect(":")
             child = self.pattern()
@@ -248,18 +271,43 @@ class _Parser:
             return {"field": name_expr, "child": child}
         return {"node": name_expr, "child": child}
 
-    def _name(self):
+    def _name_expr(self):
+        """nameExpr (Parser.hs:354-361): '_' any, '!(n)' negation,
+        '(n|m|..)' choice (>=2 alternatives), or a literal name."""
         kind, v = self.next()
-        if kind == "ident" and v != "_":
-            return v
         if v == "_":
             return True  # any-name node: predicate true
+        if v == "!":
+            self.expect("(")
+            inner = self._name_expr()
+            self.expect(")")
+            return {"func": "not", "args": [_name_to_expr(inner)]}
+        if v == "(":
+            parts = [self._name_expr()]
+            while self.peek()[1] == "|":
+                self.next()
+                parts.append(self._name_expr())
+            self.expect(")")
+            if len(parts) < 2:  # sepBy2: "((a))" is a parse error
+                raise RelapseSyntaxError("name choice needs >= 2 alternatives")
+            out = _name_to_expr(parts[0])
+            for p in parts[1:]:  # foldl1 orExpr
+                out = {"func": "or", "args": [out, _name_to_expr(p)]}
+            return out
+        if kind == "ident" and v in ("true", "false"):
+            return {"func": "eq", "args": [{"var": "bool"},
+                                           {"bool": v == "true"}]}
+        if kind == "ident":
+            return v
         if kind == "string":
             return _unquote(v)
         if kind == "raw":
             return v[1:-1]
         if kind == "int":
             return {"func": "eq", "args": [{"var": "int"}, {"int": int(v, 0)}]}
+        if kind == "double":
+            return {"func": "eq", "args": [{"var": "double"},
+                                           {"double": float(v)}]}
         raise RelapseSyntaxError(f"expected name, got {v!r}")
 
     def _group(self):
@@ -326,6 +374,15 @@ class _Parser:
 
 _TYPE_DUMMY = {"bool": False, "int": 0, "uint": 0, "double": 0.0,
                "string": "", "bytes": b""}
+
+
+def _name_to_expr(n):
+    """Name in field shorthand (str/True) -> boolean name expression."""
+    if n is True:
+        return True
+    if isinstance(n, str):
+        return {"func": "eq", "args": [{"var": "string"}, {"string": n}]}
+    return n
 
 
 def parse(src: str) -> dict:

@@ -204,3 +204,48 @@ def test_udf_registry():
     check_agree(e)
     vals = check_agree(C.func("and", [e, C.true_e()]))
     assert vals == [False, False, False, False, False] or True  # agreement is the assertion
+
+
+def test_userlib_inc_composes():
+    """inc is the reference's only non-bool UDF (UserDefinedFuncs.hs:27-40):
+    eq(inc($int), N) must type-check and evaluate through the registry on
+    both the scalar and the vector path."""
+    import numpy as np
+    import pyarrow as pa
+    from katydid_haskell_ray.exprs import core as E
+    from katydid_haskell_ray.exprs.userlib import ensure_userlib
+    ensure_userlib()
+    e = E.func("eq", [E.func("inc", [E.var("int")]), E.const("int", 2)])
+    assert E.eval_scalar(e, E.LabelEnv("int", 1)) is True
+    assert E.eval_scalar(e, E.LabelEnv("int", 2)) is False
+    # error propagation: inc on a string label errors -> eq False
+    assert E.eval_scalar(e, E.LabelEnv("string", "x")) is False
+    tab = pa.table({"v": pa.array([1, 2, None, 1], type=pa.int64())})
+    e2 = E.func("eq", [E.func("inc", [E.var("int", "v")]), E.const("int", 2)])
+    val, err = E.eval_vector(e2, tab)
+    assert list(np.asarray(val)) == [True, False, False, True]
+    # nested inc(inc(x)) == 3
+    e3 = E.func("eq", [E.func("inc", [E.func("inc", [E.var("int", "v")])]),
+                       E.const("int", 3)])
+    val3, _ = E.eval_vector(e3, tab)
+    assert list(np.asarray(val3)) == [True, False, False, True]
+
+
+def test_userlib_concat():
+    """concat (UserDefinedFuncs.hs:42-59): string x string -> string,
+    composing under eq and toUpper."""
+    from katydid_haskell_ray.exprs import core as E
+    from katydid_haskell_ray.exprs.userlib import ensure_userlib
+    ensure_userlib()
+    e = E.func("eq", [
+        E.func("concat", [E.const("string", "ab"), E.var("string")]),
+        E.const("string", "abcd")])
+    assert E.eval_scalar(e, E.LabelEnv("string", "cd")) is True
+    assert E.eval_scalar(e, E.LabelEnv("string", "xy")) is False
+    # constant folding: concat of two consts trims to a const (trimString)
+    c = E.func("concat", [E.const("string", "a"), E.const("string", "b")])
+    assert c.kind == "const" and c.const == "ab"
+    # type errors are build errors (assertString analog)
+    import pytest
+    with pytest.raises(E.BuildError):
+        E.func("concat", [E.const("int", 1), E.const("string", "b")])

@@ -109,3 +109,63 @@ def test_parses_match_json_dsl():
         {"field": "Name", "child": "zany"},
         {"optional": {"field": "Addr", "child": "zany"}}]}}})
     assert g1.main is g2.main  # hash-consing: identical structure, same object
+
+
+def test_name_choice():
+    """ParserSpec.hs "name or": (a|b) is or(eq($string,a), eq($string,b))."""
+    src = "(a|b):*"
+    assert v(src, '{"a": 1}')
+    assert v(src, '{"b": 1}')
+    assert not v(src, '{"c": 1}')
+    # three-way left fold
+    src3 = "(a|b|c):*"
+    assert v(src3, '{"c": 1}') and not v(src3, '{"d": 1}')
+
+
+def test_name_negation():
+    """ParserSpec.hs "not pattern, not name and != conflicts" — !(A):* is a
+    node with negated name; !(*) stays a pattern-not."""
+    assert v("!(A):*", '{"B": 2}')
+    assert not v("!(A):*", '{"A": 2}')
+    assert not v("!(*)", "{}")
+    # nested: !((a|b)):* accepts anything but a and b
+    assert v("!((a|b)):*", '{"c": 1}')
+    assert not v("!((a|b)):*", '{"a": 1}')
+
+
+def test_name_literals():
+    """ParserSpec.hs name bool/int cases: typed name expressions."""
+    # int name: JSON arrays index with Int labels
+    assert v("(0|1):*", "[7]")
+    assert not v("(2|3):*", "[7]")
+    # bool name via explicit forest (JSON has no bool labels)
+    g = RP.compile_relapse("true:*")
+    assert D.MemDeriver(g).validate(((("bool", True), ()),))
+    assert not D.MemDeriver(g).validate(((("string", "true"), ()),))
+
+
+def test_name_grouping_rejected():
+    """ParserSpec.hs failure "name grouping": ((a)) is not a name."""
+    with pytest.raises(RP.RelapseSyntaxError):
+        RP.parse("((a)):*")
+
+
+def test_colon_free_depth_children():
+    """Parser.hs _depthPattern: name[..], name{..}, name.p without ':'."""
+    assert v("a[0:*,1:*]", '{"a": [5, 6]}')
+    assert not v("a[0:*,1:*]", '{"a": [5]}')
+    assert v("a{x:*;y:*}", '{"a": {"y": 1, "x": 2}}')
+    # '.' is Contains = [*, p, *]: a top-level subsequence of the child
+    # forest, not a deep search
+    assert v("a.x:*", '{"a": {"q": 1, "x": 2, "r": 3}}')
+    assert not v("a.x:*", '{"a": {"q": {"x": 1}}}')
+
+
+def test_name_choice_matches_json_dsl():
+    g1 = RP.compile_relapse("(a|b):*")
+    from katydid_haskell_ray import spec as S
+    g2 = S.compile_spec({"main": {"node": {"func": "or", "args": [
+        {"func": "eq", "args": [{"var": "string"}, {"string": "a"}]},
+        {"func": "eq", "args": [{"var": "string"}, {"string": "b"}]}]},
+        "child": "zany"}})
+    assert g1.main is g2.main

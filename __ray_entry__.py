@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_name_choice": Q.props_name_choice,
         "isprime_quantity": Q.isprime_quantity,
         "order_priority_revenue": Q.order_priority_revenue,
+        "customers_no_urgent": Q.customers_no_urgent,
+        "customer_urgent_counts": Q.customer_urgent_counts,
         "events_asof_order": Q.events_asof_order,
         "distinct_event_types": Q.distinct_event_types,
         # images (input_hint table)
@@ -272,6 +274,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "customers_no_urgent": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT')
+        """,
+        "customer_urgent_counts": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   COUNT(o.o_orderkey) AS n_urgent
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT') o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events

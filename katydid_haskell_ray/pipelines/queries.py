@@ -632,6 +632,49 @@ def order_priority_revenue(sf_dir: str):
                        {"revenue_cents": "disc_cents"}, count_as="n_items")
 
 
+def customers_no_urgent(sf_dir: str):
+    """Anti join: customers with NO urgent order — the 'rows with no match'
+    shape real validation pipelines use (hash_join how='left_anti': same
+    bucketed exchange as inner, per-bucket isin filter, right payload never
+    leaves its bucket)."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = (urgent.filter(expr="o_orderpriority == '1-URGENT'")
+              .map_batches(lambda b: b.select(["o_custkey"])
+                           .rename_columns(["c_custkey"]),
+                           batch_format="pyarrow"))
+    return hash_join(cust, urgent, key="c_custkey", left_cols=["c_name"],
+                     right_cols=[], how="left_anti")
+
+
+def customer_urgent_counts(sf_dir: str):
+    """Left join: every customer with its urgent-order count INCLUDING
+    zeros (unmatched left rows survive with a null right side), then the
+    combiner-before-shuffle count."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    urgent = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+    urgent = (urgent.filter(expr="o_orderpriority == '1-URGENT'")
+              .map_batches(lambda b: b.select(["o_custkey", "o_orderkey"])
+                           .rename_columns(["c_custkey", "o_orderkey"]),
+                           batch_format="pyarrow"))
+    joined = hash_join(cust, urgent, key="c_custkey",
+                       left_cols=["c_mktsegment"], right_cols=["o_orderkey"],
+                       how="left")
+
+    def matched(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_urgent"] = b["o_orderkey"].notna().astype(np.int64)
+        return b[["c_custkey", "c_mktsegment", "n_urgent"]]
+
+    joined = joined.map_batches(matched, batch_format="pandas")
+    return grouped_sum(joined, ["c_custkey", "c_mktsegment"],
+                       {"n_urgent": "n_urgent"}, count_as=None)
+
+
 def events_asof_order(sf_dir: str):
     """As-of join: for each event, the latest order date <= its timestamp
     (broadcast sorted timeline + vectorized searchsorted; stages/join.py).

@@ -180,11 +180,10 @@ def events_windowed(sf_dir: str):
 
 def events_sessions(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    sess = W.sessionize(ds, key="user_id", gap_s=1800)
-    from ray.data.aggregate import Count, Sum
-    out = sess.groupby("user_id").aggregate(
-        Count(alias_name="n_sessions"),
-        Sum("n_events", alias_name="n_events")).to_pandas()
+    # per-user rollup inside the sessionize bucket pass — keys never span
+    # buckets, so the second groupby exchange is free to elide
+    out = W.sessionize(ds, key="user_id", gap_s=1800,
+                       per_key_stats=True).to_pandas()
     return out.astype({"user_id": np.int64, "n_sessions": np.int64,
                        "n_events": np.int64})
 

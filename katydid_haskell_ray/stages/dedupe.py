@@ -163,10 +163,75 @@ def _auto_concurrency(requested):
     return auto_concurrency(requested)
 
 
+def _verify_jaccard_flat(texts_a, texts_b, shingle: int, threshold: float):
+    """Exact-Jaccard verify for aligned text pairs, batch-vectorized:
+    each side's shingles come from ONE flat_shingle_hashes call; per-pair
+    work is a sorted-array intersect (np.intersect1d), never re-tokenizing.
+    Returns a bool keep mask."""
+    fa, oa = flat_shingle_hashes(texts_a, shingle)
+    fb, ob = flat_shingle_hashes(texts_b, shingle)
+    keep = np.empty(len(texts_a), dtype=bool)
+    for i in range(len(texts_a)):
+        sa = np.unique(fa[oa[i]:oa[i + 1]])
+        sb = np.unique(fb[ob[i]:ob[i + 1]])
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        un = sa.size + sb.size - inter
+        keep[i] = (un == 0) or (inter / un >= threshold)
+    return keep
+
+
+def _smalltail_cluster(pair_refs, doc_refs, *, id_col, col, shingle,
+                       threshold):
+    """Verify + connected components for a dup-density-bounded tail, inside
+    ONE Ray task (not the driver): dedup candidate pairs, exact-Jaccard
+    verify against the Bloom-filtered candidate texts, union-find with path
+    compression.  Returns (clusters_table, drop_table)."""
+    import ray
+
+    pairs = pa.concat_tables(ray.get(list(pair_refs)))
+    docs = pa.concat_tables(ray.get(list(doc_refs)))
+    pdf = (pd.DataFrame({"a": pairs.column("a").to_numpy(zero_copy_only=False),
+                         "b": pairs.column("b").to_numpy(zero_copy_only=False)})
+           .drop_duplicates())
+    text_of = dict(zip(docs.column(id_col).to_pylist(),
+                       docs.column(col).to_pylist()))
+    ta = [text_of[x] for x in pdf["a"]]
+    tb = [text_of[x] for x in pdf["b"]]
+    keep = _verify_jaccard_flat(ta, tb, shingle, threshold)
+    edges = pdf[keep]
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(edges["a"], edges["b"]):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # min-root union keeps label = min id of the component
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = np.unique(np.concatenate([edges["a"].to_numpy(),
+                                      edges["b"].to_numpy()])
+                      if len(edges) else np.empty(0, np.int64))
+    labels = np.array([find(x) for x in nodes], dtype=np.int64)
+    clusters = pa.table({"id": pa.array(nodes, type=pa.int64()),
+                         "cluster": pa.array(labels, type=pa.int64())})
+    drop = pa.table({id_col: pa.array(nodes[nodes != labels],
+                                      type=pa.int64())})
+    return clusters, drop
+
+
 def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                    k: int = 128, bands: int = 32, shingle: int = 3,
                    threshold: float = 0.8, concurrency: int | None = None,
-                   n_buckets: int = 64):
+                   n_buckets: int = 64,
+                   small_tail_max_bytes: int = 256 << 20,
+                   small_tail_max_pairs: int = 2_000_000):
     """Full MinHash-LSH near-dup pipeline; returns (clusters_df, kept_ds).
 
     clusters_df: pandas (id, cluster) for every doc in a near-dup cluster of
@@ -175,14 +240,26 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
     representatives + singletons), computed by distributed anti-join — the
     full id set never lands on the driver.
 
-    Tail stages are fully distributed: candidate pairs are Jaccard-verified
-    in map_batches after a Bloom-filtered hash join brings the two texts to
-    each pair, and components come from min-label propagation
-    (stages/components.py).
+    The corpus-proportional stages (signatures, banding, the LSH bucket
+    exchange, the Bloom-filtered candidate projection, the kept-set
+    anti-join) are always distributed.  The TAIL — verify + connected
+    components — is proportional to duplicate density, not corpus size, so
+    it is size-adaptive, the same regime switch as broadcast-vs-shuffle
+    joins:
+
+    - small tail (candidate texts < ``small_tail_max_bytes`` AND pairs <
+      ``small_tail_max_pairs``): one Ray task does vectorized verify +
+      union-find.  Never the driver, and never more than the Bloom-filtered
+      candidates in one heap.
+    - large tail: candidate pairs are Jaccard-verified in map_batches after
+      a partitioned hash join brings the two texts to each pair, and
+      components come from iterative min-label propagation
+      (stages/components.py) — everything stays sharded.
     """
     import pickle
 
     import ray
+    import ray.data
 
     from katydid_haskell_ray.state.reduce import tree_reduce
     from katydid_haskell_ray.stages.components import connected_components
@@ -229,21 +306,10 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                                  "cluster": pd.Series([], dtype=np.int64)})
         return clusters, ids_ds
 
-    # the same (a, b) pair can surface from bands whose rows landed in
-    # DIFFERENT coarse buckets: dedupe pairs with a bucketed exchange keyed
-    # on the pair itself
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        h = (SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b")))
-        return t.append_column(
-            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
-
-    pairs = (cand.map_batches(pair_bucket, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(lambda g: g[["a", "b"]].drop_duplicates(),
-                         batch_format="pandas")).materialize()
-
     # Bloom of candidate ids, built from per-block partials merged tree-wise
-    # (fixed-size state; the id list itself never aggregates anywhere)
+    # (fixed-size state; the id list itself never aggregates anywhere) —
+    # built from the pre-dedup pair stream, so the pair-dedup exchange only
+    # runs on the large-tail path
     def bloom_partial(t: pa.Table) -> pa.Table:
         bl = SK.Bloom(max(1024, 2 * n_pairs), 1e-3)
         bl.add_hashes(SK.hash64_array(t.column("a")))
@@ -252,8 +318,8 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                                           type=pa.binary())})
 
     blooms = [pickle.loads(r["blob"]) for r in
-              pairs.map_batches(bloom_partial,
-                                batch_format="pyarrow").take_all()]
+              cand.map_batches(bloom_partial,
+                               batch_format="pyarrow").take_all()]
     bloom_ref = ray.put(tree_reduce(blooms, lambda x, y: x.merge(y)))
 
     class CandTexts:
@@ -269,6 +335,40 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
 
     cand_docs = ds.map_batches(CandTexts, batch_format="pyarrow",
                                concurrency=concurrency).materialize()
+
+    if (cand_docs.size_bytes() < small_tail_max_bytes
+            and n_pairs < small_tail_max_pairs):
+        # small tail: verify + components in ONE Ray task (latency: the
+        # distributed tail is ~8 sequential shuffle jobs, pure fixed cost
+        # when the candidate set is tiny)
+        clusters_tab, drop_tab = ray.get(
+            ray.remote(_smalltail_cluster).remote(
+                cand.to_arrow_refs(), cand_docs.to_arrow_refs(),
+                id_col=id_col, col=col, shingle=shingle,
+                threshold=threshold))
+        clusters = clusters_tab.to_pandas().sort_values("id").reset_index(drop=True)
+        if drop_tab.num_rows == 0:
+            return clusters, ids_ds
+        drop_ds = ray.data.from_arrow(drop_tab)
+        kept_ds = hash_join(ids_ds, drop_ds, key=id_col, left_cols=[],
+                            right_cols=[], n_buckets=n_buckets,
+                            how="left_anti")
+        return clusters, kept_ds
+
+    # ----- large tail: everything below stays sharded -----
+
+    # the same (a, b) pair can surface from bands whose rows landed in
+    # DIFFERENT coarse buckets: dedupe pairs with a bucketed exchange keyed
+    # on the pair itself
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        h = (SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b")))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    pairs = (cand.map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda g: g[["a", "b"]].drop_duplicates(),
+                         batch_format="pandas")).materialize()
 
     # hash-join each pair to its two texts (pairs and candidate texts only —
     # non-candidate payload never enters an exchange)
@@ -288,13 +388,9 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                    right_cols=[col], n_buckets=n_buckets)
 
     def verify(t: pa.Table) -> pa.Table:
-        ta, tb = t.column("text_a").to_pylist(), t.column(col).to_pylist()
-        keep = np.empty(len(ta), dtype=bool)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = set(word_shingles(x, shingle).tolist())
-            sb = set(word_shingles(y, shingle).tolist())
-            un = len(sa | sb)
-            keep[i] = (un == 0) or (len(sa & sb) / un >= threshold)
+        keep = _verify_jaccard_flat(t.column("text_a").to_pylist(),
+                                    t.column(col).to_pylist(),
+                                    shingle, threshold)
         return pa.table({"a": t.column("a").filter(pa.array(keep)),
                          "b": t.column(id_col).filter(pa.array(keep))})
 

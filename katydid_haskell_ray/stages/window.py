@@ -46,10 +46,15 @@ def tumbling_aggregate(ds, *, width_s: int = 3600, keys=("event_type",),
 
 
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
-               gap_s: int = 1800, n_buckets: int = 64):
+               gap_s: int = 1800, n_buckets: int = 64,
+               per_key_stats: bool = False):
     """Session windows per key: a new session starts when the gap from the
     previous event exceeds ``gap_s``.  Returns (user_id, session_seq,
     session_start, session_end, n_events).
+
+    ``per_key_stats=True`` instead returns (key, n_sessions, n_events) —
+    computed INSIDE the same bucket pass (a key never spans buckets), so
+    the per-key rollup costs zero extra exchanges.
 
     Scale shape: a groupby per KEY would invoke Python once per key; this
     shuffles on a coarse hash bucket of the key (n_buckets groups total)
@@ -78,6 +83,11 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
         d = g.assign(__sid=sid)
         first = d.groupby(key, sort=False)["__sid"].transform("min").to_numpy()
         d["session_seq"] = sid - first + 1
+        if per_key_stats:
+            return (d.groupby(key, sort=False)
+                    .agg(n_sessions=("__sid", "nunique"),
+                         n_events=("__sid", "size")).reset_index()
+                    [[key, "n_sessions", "n_events"]])
         out = d.groupby([key, "session_seq"], sort=False).agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),

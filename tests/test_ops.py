@@ -48,6 +48,21 @@ def test_minhash_lsh_matches_bruteforce(docs_ds):
     assert all(i not in kept for i in range(100, 110))
 
 
+def test_minhash_tail_paths_agree(docs_ds):
+    """The size-adaptive tail must be a pure latency optimization: the
+    single-task small path and the fully distributed large path (forced via
+    small_tail_max_pairs=0) produce identical clusters and kept sets."""
+    small_cl, small_kept = DD.minhash_dedupe(docs_ds, threshold=0.5,
+                                             concurrency=2)
+    big_cl, big_kept = DD.minhash_dedupe(docs_ds, threshold=0.5,
+                                         concurrency=2,
+                                         small_tail_max_pairs=0)
+    pd.testing.assert_frame_equal(small_cl.reset_index(drop=True),
+                                  big_cl.reset_index(drop=True))
+    assert (set(small_kept.to_pandas()["doc_id"])
+            == set(big_kept.to_pandas()["doc_id"]))
+
+
 def test_simhash_pairs(docs_ds):
     pairs = DD.simhash_near_pairs(docs_ds, max_hamming=6, concurrency=2)
     got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
@@ -129,6 +144,14 @@ def test_windowing(ray_session, sf_dir):
     sess = W.sessionize(ds, gap_s=1800).to_pandas()
     assert sess["n_events"].sum() == len(ref)
     assert (sess["session_end"] >= sess["session_start"]).all()
+    # fused per-key rollup == rollup of the per-session rows
+    stats = (W.sessionize(ds, gap_s=1800, per_key_stats=True).to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+    want = (sess.groupby("user_id")
+            .agg(n_sessions=("session_seq", "size"),
+                 n_events=("n_events", "sum")).reset_index()
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(stats, want, check_dtype=False)
 
 
 def test_bloom_probe_stage(ray_session):

@@ -188,8 +188,11 @@ def _smalltail_cluster(pair_refs, doc_refs, *, id_col, col, shingle,
     compression.  Returns (clusters_table, drop_table)."""
     import ray
 
-    pairs = pa.concat_tables(ray.get(list(pair_refs)))
-    docs = pa.concat_tables(ray.get(list(doc_refs)))
+    # empty pandas-born blocks carry a degenerate schema — drop them
+    ptabs = [t for t in ray.get(list(pair_refs)) if t.num_rows]
+    dtabs = [t for t in ray.get(list(doc_refs)) if t.num_rows]
+    pairs = pa.concat_tables(ptabs)
+    docs = pa.concat_tables(dtabs)
     pdf = (pd.DataFrame({"a": pairs.column("a").to_numpy(zero_copy_only=False),
                          "b": pairs.column("b").to_numpy(zero_copy_only=False)})
            .drop_duplicates())

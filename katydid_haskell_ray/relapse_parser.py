@@ -28,10 +28,11 @@ test/ParserSpec.hs):
 
 Line (`//`) and block (`/* */`) comments are whitespace.
 
-Not covered (rejected with a clear error): typed casts and list literals
-beyond []byte — the semantic operator set is already fully reachable
-through the JSON DSL (SURVEY.md §2.2); this module exists so grammars
-written in the reference's own syntax run unmodified.
+Typed cast literals (``int(-5)``, ``uint(7)``, ``double(2.5)``) and typed
+list literals (``[]bool{..} []int{..} []uint{..} []double{..}
+[]string{..} [][]byte{..}``) parse per Parser.hs:121-151,294-318; list
+elements must already carry the element type (newList asserts, never
+converts).
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<arrow>->)
   | (?P<builtin>==|!=|<=|>=|~=|\*=|\^=|\$=|::)
   | (?P<empty><empty>)
+  | (?P<listtype>\[\]\[\]byte\{|\[\](?:bool|int|uint|double|string)\{)
   | (?P<bytes>\[\]byte\{)
   | (?P<double>-?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+)
   | (?P<int>-?(?:0[xX][0-9a-fA-F]+|0[0-7]*|[1-9]\d*))
@@ -139,12 +141,61 @@ class _Parser:
             return {"string": v[1:-1]}
         if kind == "ident" and v in ("true", "false"):
             return {"bool": v == "true"}
+        if kind == "ident" and v in ("int", "uint", "double") \
+                and self.peek()[1] == "(":
+            return self._cast_literal(v)
         if kind == "bytes":
             return {"bytes": self._bytes_body()}
+        if kind == "listtype":
+            return self._list_literal(v)
         if kind == "var":
             # after '::' the "literal" is a type name: produce a typed dummy
             return {_VAR_TYPE[v]: _TYPE_DUMMY[_VAR_TYPE[v]]}
         raise RelapseSyntaxError(f"expected literal, got {v!r}")
+
+    def _cast_literal(self, cast: str):
+        """Typed cast literals int(-5) / uint(7) / double(2.5)
+        (Parser.hs intLit:121-123, uintCastLit:131-132,
+        doubleCastLit:149-151).  uint and double exist ONLY via the cast;
+        double(2) reads digits-without-dot as a float, like _floatLit."""
+        self.expect("(")
+        inner = self.literal()
+        self.expect(")")
+        (t, val), = inner.items()
+        if cast == "int" and t == "int":
+            return {"int": val}
+        if cast == "uint" and t == "int":
+            if val < 0:
+                raise RelapseSyntaxError("negative uint")
+            return {"uint": val}
+        if cast == "double" and t in ("double", "int"):
+            return {"double": float(val)}
+        raise RelapseSyntaxError(f"bad {cast}(...) cast of {t} literal")
+
+    def _list_literal(self, tok: str):
+        """Typed list literals []int{1,2} .. [][]byte{[]byte{46}}
+        (Parser.hs _listType:294-303, newList:309-318).  Element literals
+        must already have the list's element type — newList asserts, it
+        never converts (Expr.hs assertUint:259-262)."""
+        et = tok[2:-1]  # "bool" | "int" | ... | "[]byte"
+        want = "bytes" if et == "[]byte" else et
+        vals = []
+        if self.peek()[1] == "}":
+            self.next()
+        else:
+            while True:
+                lit = self.literal()
+                (t, val), = lit.items()
+                if t != want:
+                    raise RelapseSyntaxError(
+                        f"[]{et}{{..}}: expected {want} element, got {t}")
+                vals.append(val)
+                kind, v = self.next()
+                if v == "}":
+                    break
+                if v != ",":
+                    raise RelapseSyntaxError(f"expected , or }}, got {v!r}")
+        return {f"list_{want}": vals}
 
     def _bytes_body(self) -> str:
         import base64
@@ -192,7 +243,10 @@ class _Parser:
         if kind == "var":
             self.next()
             return {"var": _VAR_TYPE[v]}
-        if kind == "ident" and v not in ("true", "false") and self.peek(1)[1] == "(":
+        if (kind == "ident" and self.peek(1)[1] == "("
+                and v not in ("true", "false", "int", "uint", "double")):
+            # int(/uint(/double( are cast literals, not function calls
+            # (Parser.hs _expr: try _terminal first)
             return self.funcexpr()
         return self.literal()
 

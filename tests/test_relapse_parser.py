@@ -169,3 +169,51 @@ def test_name_choice_matches_json_dsl():
         {"func": "eq", "args": [{"var": "string"}, {"string": "b"}]}]},
         "child": "zany"}})
     assert g1.main is g2.main
+
+
+def test_cast_literals():
+    """ParserSpec.hs:76-89 cast cases: int(oct), int(signed), uint, double
+    in all its spellings."""
+    p = RP._Parser(RP._tokenize("int(0114)"))
+    assert p.literal() == {"int": 76}
+    assert RP._Parser(RP._tokenize("int(-114)")).literal() == {"int": -114}
+    assert RP._Parser(RP._tokenize("uint(114)")).literal() == {"uint": 114}
+    assert RP._Parser(RP._tokenize("uint(025)")).literal() == {"uint": 21}
+    for bad in ("uint(-12)", "int(-114", "double(1/2)"):
+        with pytest.raises(RP.RelapseSyntaxError):
+            RP._Parser(RP._tokenize(bad)).literal()
+    assert RP._Parser(RP._tokenize("double(2.1)")).literal() == {"double": 2.1}
+    assert RP._Parser(RP._tokenize("double(2)")).literal() == {"double": 2.0}
+    assert RP._Parser(RP._tokenize("double(2E+2)")).literal() == {"double": 200.0}
+    assert RP._Parser(RP._tokenize("double(2E-2)")).literal() == {"double": 0.02}
+    assert RP._Parser(RP._tokenize("double(2.1E-2)")).literal() == {"double": 0.021}
+    # end-to-end: uint equality only matches uint-typed labels
+    assert v("a:== double(1.5)", '{"a": 1.5}')
+    assert not v("a:== double(1.5)", '{"a": 1.6}')
+
+
+def test_list_literals():
+    """Parser.hs _listType/newList: typed lists; elements must already
+    have the element type (assert, not convert)."""
+    assert (RP._Parser(RP._tokenize("[]int{1,2}")).literal()
+            == {"list_int": [1, 2]})
+    assert (RP._Parser(RP._tokenize('[]string{"a", "b"}')).literal()
+            == {"list_string": ["a", "b"]})
+    assert (RP._Parser(RP._tokenize("[]double{2.1}")).literal()
+            == {"list_double": [2.1]})
+    assert (RP._Parser(RP._tokenize("[]uint{uint(1), uint(2)}")).literal()
+            == {"list_uint": [1, 2]})
+    assert (RP._Parser(RP._tokenize("[]bool{true}")).literal()
+            == {"list_bool": [True]})
+    b = RP._Parser(RP._tokenize("[][]byte{[]byte{46}, []byte{47}}")).literal()
+    assert b == {"list_bytes": ["base64:Lg==", "base64:Lw=="]}
+    with pytest.raises(RP.RelapseSyntaxError):  # int into []uint: no convert
+        RP._Parser(RP._tokenize("[]uint{1}")).literal()
+    with pytest.raises(RP.RelapseSyntaxError):
+        RP._Parser(RP._tokenize("[]int{1.5}")).literal()
+    # ParserSpec.hs:140 shape, end-to-end through a leaf function
+    assert v("a:-> eq($int, length([]int{1,2}))", '{"a": 2}')
+    assert not v("a:-> eq($int, length([]int{1,2}))", '{"a": 3}')
+    # list membership via contains
+    assert v('a:-> contains($string, []string{"x","y"})', '{"a": "y"}')
+    assert not v('a:-> contains($string, []string{"x","y"})', '{"a": "z"}')

@@ -63,9 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute": Q.knn_brute,
         "knn_lsh": Q.knn_lsh,                           # rows-only
+        "knn_ivf": Q.knn_ivf,                           # rows-only
         "cosine_pairs": Q.cosine_pairs,
         # additional relational coverage
         "docs_by_lang": Q.docs_by_lang,
+        "docs_top_tokens": Q.docs_top_tokens,
         "supplier_nation_rollup": Q.supplier_nation_rollup,
         "top_orders_per_segment": Q.top_orders_per_segment,
         "part_filter_like": Q.part_filter_like,
@@ -218,6 +220,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang, source
+        """,
+        "docs_top_tokens": """
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents WHERE text IS NOT NULL)
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 20
         """,
         "supplier_nation_rollup": """
             SELECT r_name,

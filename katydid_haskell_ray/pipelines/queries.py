@@ -155,6 +155,31 @@ def filter_docs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def docs_top_tokens(sf_dir: str):
+    """Corpus heavy hitters: vectorized whitespace token explode ->
+    per-batch partial counts (combiner: only (token, n) partials enter the
+    exchange, never the exploded token stream) -> groupby-sum over the
+    vocabulary -> distributed top-k (stages/topk.py, no total sort)."""
+    from ray.data.aggregate import Sum
+    from katydid_haskell_ray.stages.topk import topk_rows
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(b.column("text").drop_null()))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+    out = topk_rows(counts, k=20, by=["n", "token"],
+                    ascending=[False, True])
+    return out.astype({"n": np.int64})
+
+
 def distinct_users(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id"])
     n = K.exact_distinct_count(ds, "user_id")
@@ -308,6 +333,17 @@ def knn_lsh(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qids, qvecs = _query_vecs(sf_dir)
     out = SIM.knn_topk_lsh(ds, qids, qvecs, k=5, concurrency=_AC())
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
+def knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k (no oracle — recall vs brute measured
+    in tests): broadcast coarse-quantizer centroids, per-batch assignment
+    + probe-masked scoring."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids, qvecs = _query_vecs(sf_dir)
+    out = SIM.knn_topk_ivf(ds, qids, qvecs, k=5, n_centroids=32, nprobe=8,
+                           concurrency=_AC())
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 

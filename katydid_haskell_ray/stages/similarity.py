@@ -183,6 +183,99 @@ def knn_topk_lsh(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
     return out.reset_index(drop=True)
 
 
+def train_centroids(ds, *, n_centroids: int = 64, sample: int = 8192,
+                    iters: int = 10, col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained on a BOUNDED
+    sample (``ds.limit(sample)`` — constant driver memory at any corpus
+    size).  Deterministic: the sample is sorted by id (streamed block
+    order is not stable run-to-run), init is evenly-spaced sample rows,
+    no RNG.  Returns normalized centroids (C, d) float32."""
+    samp = (ds.select_columns([id_col, col]).limit(sample).to_pandas()
+            .sort_values(id_col))
+    m = _normalize(np.stack(samp[col].to_numpy()).astype(np.float32))
+    n_centroids = min(n_centroids, len(m))
+    cent = m[np.linspace(0, len(m) - 1, n_centroids).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_topk_ivf(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
+                 n_centroids: int = 64, nprobe: int = 8,
+                 col: str = "embedding", id_col: str = "vec_id",
+                 concurrency: int | None = None,
+                 centroids: np.ndarray | None = None):
+    """Approximate top-k via an IVF coarse quantizer: each row is assigned
+    to its nearest centroid in the same batch pass, and is scored only for
+    queries whose ``nprobe`` nearest centroids include that assignment.
+
+    Everything broadcast (centroids + queries + probe lists) is
+    O(C·d + Q·d); per batch the work is one assignment matmul plus the
+    masked query matmul.  At real scale the assignment would be computed
+    once and the table stored partitioned by centroid id so probes prune
+    entire partitions at the read (the `partitioning assumption` this
+    operator documents); here it recomputes per pass, which costs one
+    extra matmul but changes no results."""
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids=n_centroids, col=col,
+                                    id_col=id_col)
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    # (Q, nprobe) nearest centroids per query
+    qc = qmat @ centroids.T
+    nprobe = min(nprobe, centroids.shape[0])
+    probe = np.argsort(-qc, axis=1)[:, :nprobe]
+    state_ref = ray.put({"centroids": centroids, "qids": list(query_ids),
+                         "qmat": qmat, "probe": probe})
+
+    class IVFScorer:
+        def __init__(self):
+            st = ray.get(state_ref)
+            self.cent, self.qids = st["centroids"], st["qids"]
+            self.qmat, self.probe = st["qmat"], st["probe"]
+            self.col, self.id_col, self.k = col, id_col, k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_embed_matrix(batch, self.col))
+            assign = np.argmax(m @ self.cent.T, axis=1)  # (n,)
+            sims = m @ self.qmat.T                       # (n, Q)
+            member = np.zeros_like(sims, dtype=bool)
+            for qi in range(len(self.qids)):
+                member[:, qi] = np.isin(assign, self.probe[qi])
+            sims[~member] = -np.inf
+            ids = np.asarray(batch.column(self.id_col).to_pylist())
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(sims.shape[1]):
+                col_s = sims[:, qi]
+                rows = np.nonzero(np.isfinite(col_s))[0]
+                if not len(rows):
+                    continue
+                order = rows[np.argsort(-col_s[rows])[: self.k]]
+                out_q.extend([self.qids[qi]] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_sim.extend(col_s[order].astype(np.float64).tolist())
+            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                             self.id_col: pa.array(out_id),
+                             "sim": pa.array(out_sim, type=pa.float64())})
+
+    local = ds.map_batches(IVFScorer, batch_format="pyarrow",
+                           concurrency=_sim_concurrency(concurrency)
+                           ).to_pandas()
+    local["sim"] = local["sim"].round(6)
+    local = local.sort_values(["query_id", "sim", id_col],
+                              ascending=[True, False, True])
+    out = local.groupby("query_id", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
 def cosine_near_pairs(ds, *, threshold: float = 0.95, col: str = "embedding",
                       id_col: str = "vec_id", concurrency: int | None = None):
     """All (a, b, sim) pairs with cosine >= threshold, a < b — exact.

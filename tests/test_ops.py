@@ -90,6 +90,29 @@ def test_knn_lsh_recall(ray_session, sf_dir):
         assert (q, q) in aset
 
 
+def test_knn_ivf_recall(ray_session, sf_dir):
+    import os
+    import ray.data
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    tab = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sel = tab[tab["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    qids, qvecs = sel["vec_id"].tolist(), np.stack(sel["embedding"].to_numpy())
+    brute = SIM.knn_topk(ds, qids, qvecs, k=5, concurrency=2)
+    approx = SIM.knn_topk_ivf(ds, qids, qvecs, k=5, concurrency=2,
+                              n_centroids=16, nprobe=6)
+    bset = set(zip(brute["query_id"], brute["vec_id"]))
+    aset = set(zip(approx["query_id"], approx["vec_id"]))
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.5, recall
+    # self-hit always lands in its own probe set (probe[0] = argmax centroid)
+    for q in qids:
+        assert (q, q) in aset
+    # deterministic: same centroids, same results
+    again = SIM.knn_topk_ivf(ds, qids, qvecs, k=5, concurrency=2,
+                             n_centroids=16, nprobe=6)
+    pd.testing.assert_frame_equal(approx, again)
+
+
 def test_text_kernels():
     s = pd.Series(["Hello big world", "", None, "  padded  text  "])
     assert list(TX.token_count(s)) == [3, 0, 0, 2]

@@ -34,69 +34,56 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     ``how="left_anti"`` keeps left rows with NO match on the right and
     returns only the left columns — the distributed anti-join used by the
     dedup kept-set computation.
+
+    Shuffle shape: each side is projected to its join columns, tagged with
+    a coarse key-hash bucket, and cogrouped through the raw-task exchange
+    (stages/exchange.py) — the two sides never union, so each keeps its
+    Arrow schema end-to-end (no null-fill, no int->float coercion for
+    inner/anti joins; a left/outer merge still NaN-fills unmatched right
+    columns, which is the semantics).  The per-bucket merge is one
+    C-speed pandas merge.
     """
+    from katydid_haskell_ray.stages.exchange import bucket_cogroup
+
     lcols = [key] + [c for c in left_cols if c != key]
     rcols = [key] + [c for c in right_cols if c != key]
     clash = (set(lcols) & set(rcols)) - {key}
     if clash:
         raise ValueError(f"join column name clash: {sorted(clash)}")
-    all_cols = lcols + [c for c in rcols if c != key]
 
-    def tag(side: str, cols: list[str], other_schema_src):
+    def tag(cols: list[str]):
         def f(b: pa.Table) -> pa.Table:
             b = b.select(cols)
-            # unify schemas for the union: null-fill the other side's columns
-            for name, typ in other_schema_src:
-                b = b.append_column(name, pa.nulls(b.num_rows, typ))
             h = SK.hash64_array(b.column(key)) % np.uint64(n_buckets)
-            b = (b.append_column("__bucket", pa.array(h.astype(np.int32)))
-                  .append_column("__side", pa.array([side] * b.num_rows)))
-            return b.select(all_cols + ["__bucket", "__side"])
+            return b.append_column("__bucket", pa.array(h.astype(np.int32)))
         return f
 
-    def _arrow_types(schema, cols):
-        base = getattr(schema, "base_schema", schema)
-        out = []
-        if isinstance(base, pa.Schema):
-            for c in cols:
-                out.append((c, base.field(c).type))
+    tagged_l = left.map_batches(tag(lcols), batch_format="pyarrow")
+    tagged_r = right.map_batches(tag(rcols), batch_format="pyarrow")
+
+    def merge_bucket(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # a 0-column frame means that side was GLOBALLY empty (the exchange
+        # passes Ray's degenerate empty blocks through as such)
+        if ldf.shape[1] == 0:
+            return ldf  # empty output, Ray's empty-block convention
+        ldf = ldf[lcols]
+        if rdf.shape[1] == 0:
+            if how == "left_anti":
+                return ldf  # nothing to subtract
+            if how == "inner":
+                return ldf.iloc[0:0]
+            out = ldf.copy()  # left join: all unmatched
+            for c in rcols:
+                if c != key:
+                    out[c] = np.nan
             return out
-        m = dict(zip(base.names, base.types))  # PandasBlockSchema
-        for c in cols:
-            t = m[c]
-            if not isinstance(t, pa.DataType):
-                try:
-                    t = pa.from_numpy_dtype(t)
-                except (pa.ArrowNotImplementedError, TypeError):
-                    t = pa.string()  # pandas object dtype
-            out.append((c, t))
-        return out
-
-    ltypes = _arrow_types(left.schema(), [c for c in lcols if c != key])
-    rtypes = _arrow_types(right.schema(), [c for c in rcols if c != key])
-    tagged_l = left.map_batches(tag("l", lcols, rtypes), batch_format="pyarrow")
-    tagged_r = right.map_batches(tag("r", rcols, ltypes), batch_format="pyarrow")
-    both = tagged_l.union(tagged_r)
-
-    # integer columns get NaN-coerced to float by the union's null-fill;
-    # restore their dtypes after the per-bucket merge so downstream integer
-    # aggregation stays exact
-    int_cols = [c for c, t in ltypes + rtypes if pa.types.is_integer(t)]
-
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lpart = g.loc[g["__side"] == "l", lcols]
-        rpart = g.loc[g["__side"] == "r", rcols]
+        rdf = rdf[rcols]
         if how == "left_anti":
-            out = lpart[~lpart[key].isin(rpart[key])]
-        else:
-            out = lpart.merge(rpart, on=key, how=how)
-        for c in int_cols:
-            if c in out.columns and out[c].notna().all():
-                out[c] = out[c].astype(np.int64)
-        return out
+            return ldf[~ldf[key].isin(rdf[key])]
+        return ldf.merge(rdf, on=key, how=how)
 
-    return both.groupby("__bucket").map_groups(merge_bucket,
-                                               batch_format="pandas")
+    return bucket_cogroup(tagged_l, tagged_r, merge_bucket,
+                          n_buckets=n_buckets)
 
 
 def asof_lookup(ds, *, ts_col: str, timeline: np.ndarray,

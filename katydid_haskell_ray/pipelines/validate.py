@@ -440,14 +440,15 @@ def run_validation(images_path: str, out_dir: str, *,
         s = g.groupby(["kind", "key"], as_index=False)["cnt"].sum()
         return s[s["cnt"] > 1].rename(columns={"cnt": "dup_count"})
 
-    key_counts = (partials.filter(expr="kind != 'stat'")
-                  .select_columns(["kind", "key", "cnt"])
-                  .map_batches(lambda b: b.filter(
-                      pa.compute.is_valid(b.column("key"))),
-                      batch_format="pyarrow")
-                  .map_batches(_bucket, batch_format="pyarrow")
-                  .groupby("bucket")
-                  .map_groups(_per_bucket, batch_format="pandas")).to_pandas()
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    key_counts = bucket_map_groups(
+        partials.filter(expr="kind != 'stat'")
+        .select_columns(["kind", "key", "cnt"])
+        .map_batches(lambda b: b.filter(
+            pa.compute.is_valid(b.column("key"))),
+            batch_format="pyarrow")
+        .map_batches(_bucket, batch_format="pyarrow"),
+        _per_bucket, n_buckets=64, bucket_col="bucket").to_pandas()
     dup_ids_df = key_counts[key_counts["kind"] == "image_id"]
     n_dup_ids = len(dup_ids_df)
     hot_df = (key_counts[key_counts["kind"] == "phash"]

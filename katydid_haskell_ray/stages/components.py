@@ -101,10 +101,12 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
         out["bucket"] = out["bucket"].astype(np.int32)
         return out
 
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+
     state = edges.map_batches(seed, batch_format="pyarrow")
     for rnd in range(max_rounds):
-        state = (state.groupby("bucket")
-                 .map_groups(step, batch_format="pandas").materialize())
+        state = bucket_map_groups(state, step, n_buckets=n_buckets,
+                                  bucket_col="bucket").materialize()
         if rnd == 0:
             continue  # seed LABELs start changed=0; one real round first
         changed = state.aggregate(Sum("changed", alias_name="c"))["c"]

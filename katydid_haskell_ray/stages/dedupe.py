@@ -278,13 +278,13 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                                 id_col=id_col),
         batch_format="pyarrow")
 
-    # groupby on (band, band_hash) directly would create ~n*bands mostly-
-    # singleton groups (per-group overhead dominates); shuffle on a COARSE
-    # 256-way bucket of the band hash and pair up within buckets using
-    # vectorized pandas — same exchange volume, C-speed reduce
+    # grouping on (band, band_hash) directly would create ~n*bands mostly-
+    # singleton groups (per-group overhead dominates); exchange on a COARSE
+    # n_buckets-way bucket of the band hash and pair up within buckets
+    # using vectorized pandas — same exchange volume, C-speed reduce
     def add_bucket(t: pa.Table) -> pa.Table:
         b = (t.column("band_hash").to_numpy(zero_copy_only=False)
-             .view(np.uint64) % 256).astype(np.int32)
+             .view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -298,9 +298,10 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                              "b": hits[id_col].to_numpy()}
                             ).drop_duplicates()
 
-    cand = (band_ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-            ).materialize()
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    cand = bucket_map_groups(
+        band_ds.map_batches(add_bucket, batch_format="pyarrow"),
+        bucket_pairs, n_buckets=n_buckets, bucket_col="bucket").materialize()
     ids_ds = ds.map_batches(lambda t: t.select([id_col]),
                             batch_format="pyarrow")
     n_pairs = cand.count()
@@ -368,10 +369,10 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
         return t.append_column(
             "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
 
-    pairs = (cand.map_batches(pair_bucket, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(lambda g: g[["a", "b"]].drop_duplicates(),
-                         batch_format="pandas")).materialize()
+    pairs = bucket_map_groups(
+        cand.map_batches(pair_bucket, batch_format="pyarrow"),
+        lambda g: g[["a", "b"]].drop_duplicates(),
+        n_buckets=n_buckets, bucket_col="bucket").materialize()
 
     # hash-join each pair to its two texts (pairs and candidate texts only —
     # non-candidate payload never enters an exchange)
@@ -472,7 +473,7 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
         # coarse bucket over (chunk, val) to avoid near-singleton groups
         c = t.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
         v = t.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = ((v + c * 65536) % 256).astype(np.int32)
+        b = ((v + c * 65536) % 64).astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
     def bucket_pairs(g: _pd.DataFrame) -> _pd.DataFrame:
@@ -491,9 +492,11 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
             "b": rest[id_col].to_numpy()[keep],
             "hamming": d[keep].astype(np.int64)})
 
-    pairs = fp.map_batches(chunk_rows, batch_format="pyarrow") \
-        .map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    pairs = bucket_map_groups(
+        fp.map_batches(chunk_rows, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        bucket_pairs, n_buckets=64, bucket_col="bucket") \
         .to_pandas().drop_duplicates(subset=["a", "b"])
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
 

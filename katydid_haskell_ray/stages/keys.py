@@ -69,8 +69,9 @@ def duplicate_keys(ds, key: str, n_buckets: int = 64):
         s = s[s["cnt"] > 1].rename(columns={"cnt": "dup_count"})
         return s
 
-    return bucketed.groupby("bucket").map_groups(per_bucket,
-                                                 batch_format="pandas")
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets,
+                             bucket_col="bucket")
 
 
 def exact_distinct_count(ds, key: str, n_buckets: int = 64) -> int:
@@ -85,8 +86,9 @@ def exact_distinct_count(ds, key: str, n_buckets: int = 64) -> int:
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [g[key].nunique()]})
 
-    out = bucketed.groupby("bucket").map_groups(per_bucket,
-                                                batch_format="pandas")
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    out = bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets,
+                            bucket_col="bucket")
     return int(out.to_pandas()["n"].sum())
 
 

@@ -98,5 +98,5 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
 
     bucketed = ds.select_columns([key, ts_col]).map_batches(
         add_bucket, batch_format="pyarrow")
-    return bucketed.groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas")
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)

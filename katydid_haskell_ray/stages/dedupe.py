@@ -46,29 +46,55 @@ def add_content_hash(batch: pa.Table, col: str = "text",
     return batch.append_column(out, pa.array(h.view(np.int64)))
 
 
-def exact_dedupe(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedupe(ds, col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 64):
     """Keep the first (min id) row per distinct content hash.
 
     Equality is by 64-bit content hash (collision odds ~n²/2⁶⁵ — negligible
     at any real scale; use a 128-bit hash if that ever matters).  Shuffles
-    only (hash, id): the payload column is dropped before the exchange and
-    survivors are identified by id.
-    """
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, col).select([id_col, "content_hash"]),
-        batch_format="pyarrow")
-    from ray.data.aggregate import Min
-    keep = hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    only per-batch (hash, min id) partials through the coarse-bucket
+    exchange — the payload column is dropped before the exchange and
+    survivors are identified by id."""
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = add_content_hash(b, col).select([id_col, "content_hash"])
+        df = t.to_pandas().groupby("content_hash", as_index=False)[id_col].min()
+        bk = (df["content_hash"].to_numpy().view(np.uint64)
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(df.assign(bucket=bk),
+                                    preserve_index=False)
+
+    hashed = ds.map_batches(partial, batch_format="pyarrow")
+    keep = bucket_map_groups(
+        hashed,
+        lambda g: g.groupby("content_hash", as_index=False)[id_col].min(),
+        n_buckets=n_buckets, bucket_col="bucket")
     return keep.select_columns([id_col])
 
 
-def dup_group_sizes(ds, col: str = "text"):
-    """(content_hash, n_copies) for groups with more than one row."""
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, col).select(["content_hash"]),
-        batch_format="pyarrow")
-    counts = hashed.groupby("content_hash").count()
-    return counts.filter(expr="count() > 1")
+def dup_group_sizes(ds, col: str = "text", n_buckets: int = 64):
+    """(content_hash, n_copies) for groups with more than one row —
+    per-batch count partials through the coarse-bucket exchange."""
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = add_content_hash(b, col).select(["content_hash"])
+        df = (t.to_pandas().groupby("content_hash", as_index=False)
+              .size().rename(columns={"size": "cnt"}))
+        bk = (df["content_hash"].to_numpy().view(np.uint64)
+              % np.uint64(n_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(df.assign(bucket=bk),
+                                    preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("content_hash", as_index=False)["cnt"].sum()
+        return (s[s["cnt"] > 1]
+                .rename(columns={"cnt": "n_copies"}))
+
+    return bucket_map_groups(ds.map_batches(partial, batch_format="pyarrow"),
+                             per_bucket, n_buckets=n_buckets,
+                             bucket_col="bucket")
 
 
 # ---------------------------------------------------------------------------

@@ -34,15 +34,24 @@ def tumbling_aggregate(ds, *, width_s: int = 3600, keys=("event_type",),
 
     The window column is added in a vectorized map_batches; the groupby
     shuffles only (window, keys, value) projections."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     cols = ["ts", value_col, *keys]
     windowed = ds.select_columns(cols).map_batches(
         lambda b: add_tumbling_window(b, width_s=width_s),
         batch_format="pyarrow")
-    return windowed.groupby(["window_start", *keys]).aggregate(
-        Count(alias_name="n_events"),
-        Sum(value_col, alias_name="sum_value"))
+
+    # combiner before the shuffle: windows x keys is small, so per-batch
+    # partials collapse the exchange to a few rows per block
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["window_start", *keys], as_index=False)
+                .agg(n_events=(value_col, "size"),
+                     sum_value=(value_col, "sum")))
+
+    return (windowed.map_batches(partial, batch_format="pandas")
+            .groupby(["window_start", *keys])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_value", alias_name="sum_value")))
 
 
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",

@@ -286,8 +286,9 @@ def dup_doc_groups(sf_dir: str):
 def minhash_dedupe_docs(sf_dir: str):
     """Near-dup clusters over the augmented corpus (no SQL oracle — verified
     against the brute-force Jaccard oracle in tests)."""
-    clusters, kept = DD.minhash_dedupe(
-        _augmented_docs(sf_dir), threshold=0.5, concurrency=None)
+    clusters, _ = DD.minhash_dedupe(
+        _augmented_docs(sf_dir), threshold=0.5, concurrency=None,
+        kept=False)
     return pa.table({"id": pa.array(clusters["id"], type=pa.int64()),
                      "cluster": pa.array(clusters["cluster"], type=pa.int64())})
 

@@ -105,12 +105,15 @@ _WORD_RE = re.compile(r"\S+")
 
 
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (k-grams of whitespace tokens)."""
+    """Hashes of word k-shingles (k-grams of whitespace tokens): tokens
+    hash individually, windows combine via the order-sensitive polynomial
+    kernel (sketches.window_poly) — hashing grams as joined strings would
+    re-hash every token k times.  Short docs (0 < n < k) collapse to one
+    whole-doc shingle, empty docs to none."""
     toks = _WORD_RE.findall(text or "")
-    if len(toks) < k:
-        return SK.hash64_array([" ".join(toks)]) if toks else np.empty(0, np.uint64)
-    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return SK.hash64_array(grams)
+    if not toks:
+        return np.empty(0, np.uint64)
+    return SK.window_poly(SK.hash64_array(np.array(toks, dtype=object)), k)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -123,43 +126,18 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 def flat_shingle_hashes(texts, k: int = 3):
     """All docs' word-k-shingle hashes concatenated + (n_docs+1) offsets.
 
-    Shingle definition matches :func:`word_shingles` exactly (short docs
-    collapse to one whole-text shingle, empty docs to none) but the whole
-    batch goes through ONE hash64_array call instead of one per doc."""
-    grams: list[str] = []
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    Shingle values match :func:`word_shingles` exactly (shared window
+    kernel over per-token hashes); the whole batch goes through ONE
+    hash64_array call and ONE vectorized window pass — no per-gram Python
+    string building."""
+    toks_all: list[str] = []
+    tok_offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, t in enumerate(texts):
-        toks = _WORD_RE.findall(t or "")
-        if len(toks) >= k:
-            grams.extend(" ".join(toks[j:j + k])
-                         for j in range(len(toks) - k + 1))
-        elif toks:
-            grams.append(" ".join(toks))
-        offsets[i + 1] = len(grams)
-    flat = (SK.hash64_array(np.array(grams, dtype=object))
-            if grams else np.empty(0, np.uint64))
-    return flat, offsets
-
-
-class MinHashStage:
-    """Actor stage: text -> (k,) minhash signature column (fixed-size list).
-
-    The MinHasher's permutation table builds once per actor; signatures for
-    the whole batch come from one flattened segment-min kernel
-    (sketches.MinHasher.signature_many) — no per-doc Python loop."""
-
-    def __init__(self, col: str = "text", k: int = 128, shingle: int = 3):
-        self.col = col
-        self.mh = SK.MinHasher(k=k)
-        self.shingle = shingle
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.col).to_pylist()
-        flat, offsets = flat_shingle_hashes(texts, self.shingle)
-        sigs = self.mh.signature_many(flat, offsets).astype(np.int64)
-        sig_arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.ravel(), type=pa.int64()), self.mh.k)
-        return batch.append_column("minhash", sig_arr)
+        toks_all.extend(_WORD_RE.findall(t or ""))
+        tok_offsets[i + 1] = len(toks_all)
+    flat_tok = (SK.hash64_array(np.array(toks_all, dtype=object))
+                if toks_all else np.empty(0, np.uint64))
+    return SK.window_poly_flat(flat_tok, tok_offsets, k)
 
 
 def lsh_band_rows(batch: pa.Table, *, bands: int, rows_per_band: int,
@@ -260,8 +238,13 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                    threshold: float = 0.8, concurrency: int | None = None,
                    n_buckets: int = 64,
                    small_tail_max_bytes: int = 256 << 20,
-                   small_tail_max_pairs: int = 2_000_000):
+                   small_tail_max_pairs: int = 2_000_000,
+                   kept: bool = True):
     """Full MinHash-LSH near-dup pipeline; returns (clusters_df, kept_ds).
+
+    ``kept=False`` skips the kept-set anti-join and returns
+    (clusters_df, None) — callers that only want clusters shouldn't pay
+    for an exchange they never consume.
 
     clusters_df: pandas (id, cluster) for every doc in a near-dup cluster of
     size >= 2, cluster = min id of the cluster (bounded by duplicate
@@ -294,11 +277,22 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
     from katydid_haskell_ray.stages.components import connected_components
     from katydid_haskell_ray.stages.join import hash_join
 
-    concurrency = _auto_concurrency(concurrency)
     rows_per_band = k // bands
-    sigged = ds.map_batches(
-        MinHashStage, fn_constructor_kwargs={"col": col, "k": k, "shingle": shingle},
-        batch_format="pyarrow", concurrency=concurrency)
+    # signature state (2 x k uint64 permutation params) is tiny — a plain
+    # task closure beats an actor pool here (no pool spin-up latency);
+    # stages whose state is heavy (models, compiled grammars, Bloom sets)
+    # stay actor pools
+    mh = SK.MinHasher(k=k)
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pylist()
+        flat, offsets = flat_shingle_hashes(texts, shingle)
+        sigs = mh.signature_many(flat, offsets).astype(np.int64)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel(), type=pa.int64()), mh.k)
+        return batch.append_column("minhash", sig_arr)
+
+    sigged = ds.map_batches(sig_stage, batch_format="pyarrow")
     band_ds = sigged.map_batches(
         lambda b: lsh_band_rows(b, bands=bands, rows_per_band=rows_per_band,
                                 id_col=id_col),
@@ -352,19 +346,16 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                                batch_format="pyarrow").take_all()]
     bloom_ref = ray.put(tree_reduce(blooms, lambda x, y: x.merge(y)))
 
-    class CandTexts:
-        """Bloom-restricted projection: only candidate rows' (id, text)
-        continue into the joins (false positives just join away)."""
+    def cand_texts(t: pa.Table) -> pa.Table:
+        # Bloom-restricted projection: only candidate rows' (id, text)
+        # continue into the joins (false positives just join away); the
+        # per-task ray.get is a zero-copy local object-store hit
+        bloom = ray.get(bloom_ref)
+        m = bloom.contains_hashes(SK.hash64_array(t.column(id_col)))
+        return t.select([id_col, col]).filter(pa.array(m))
 
-        def __init__(self):
-            self.bloom = ray.get(bloom_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = self.bloom.contains_hashes(SK.hash64_array(t.column(id_col)))
-            return t.select([id_col, col]).filter(pa.array(m))
-
-    cand_docs = ds.map_batches(CandTexts, batch_format="pyarrow",
-                               concurrency=concurrency).materialize()
+    cand_docs = ds.map_batches(cand_texts,
+                               batch_format="pyarrow").materialize()
 
     if (cand_docs.size_bytes() < small_tail_max_bytes
             and n_pairs < small_tail_max_pairs):
@@ -377,6 +368,8 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                 id_col=id_col, col=col, shingle=shingle,
                 threshold=threshold))
         clusters = clusters_tab.to_pandas().sort_values("id").reset_index(drop=True)
+        if not kept:
+            return clusters, None
         if drop_tab.num_rows == 0:
             return clusters, ids_ds
         drop_ds = ray.data.from_arrow(drop_tab)
@@ -438,6 +431,8 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                 .astype({"id": np.int64, "cluster": np.int64})
                 .sort_values("id").reset_index(drop=True))
 
+    if not kept:
+        return clusters, None
     # kept = ids minus cluster non-representatives, as a distributed
     # anti-join (no driver id set)
     drop_ds = labels.filter(expr="node != label").map_batches(

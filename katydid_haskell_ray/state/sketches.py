@@ -40,6 +40,66 @@ def hash64_array(col) -> np.ndarray:
     return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
 
 
+_POLY_P = np.uint64(0x100000001B3)  # FNV-64 prime
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Final avalanche (murmur3 fmix64 step) over a uint64 array."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def window_poly(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Hash every k-window of a token-hash sequence (order-sensitive
+    polynomial in the FNV prime + fmix64 finalizer).  A doc with 0 < n < k
+    tokens yields ONE whole-doc window; n == 0 yields none."""
+    th = np.asarray(token_hashes, dtype=np.uint64)
+    n = len(th)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    kk = min(k, n)
+    acc = np.zeros(n - kk + 1, dtype=np.uint64)
+    for j in range(kk):
+        acc = acc * _POLY_P + th[j:n - kk + 1 + j]
+    return _mix64(acc)
+
+
+def window_poly_flat(flat: np.ndarray, offsets: np.ndarray, k: int):
+    """Batch :func:`window_poly`: token hashes for MANY docs concatenated
+    (``offsets`` len n_docs+1) -> (gram hashes concatenated, gram offsets).
+    One vectorized pass; windows never cross doc boundaries."""
+    flat = np.asarray(flat, dtype=np.uint64)
+    lens = np.diff(offsets)
+    ndocs = len(lens)
+    out_counts = np.where(lens >= k, lens - k + 1,
+                          (lens > 0).astype(np.int64))
+    gram_offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=gram_offsets[1:])
+    out = np.empty(gram_offsets[-1], dtype=np.uint64)
+    if len(flat) == 0:
+        return out, gram_offsets
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    m = len(flat) - k + 1
+    if m > 0:
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _POLY_P + flat[j:m + j]
+        valid = doc_of[:m] == doc_of[k - 1:]
+        gd = doc_of[:m][valid]
+        # grams of one doc are contiguous and in order: dest index =
+        # doc's gram offset + within-doc rank
+        starts = np.searchsorted(gd, np.arange(ndocs))
+        rank = np.arange(len(gd), dtype=np.int64) - starts[gd]
+        out[gram_offsets[gd] + rank] = _mix64(acc[valid])
+    for d in np.nonzero((lens > 0) & (lens < k))[0]:
+        seg = flat[offsets[d]:offsets[d + 1]]
+        out[gram_offsets[d]] = window_poly(seg, k)[0]
+    return out, gram_offsets
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------

@@ -296,8 +296,9 @@ def minhash_dedupe_docs(sf_dir: str):
 def simhash_docs(sf_dir: str):
     """(doc_id, simhash) fingerprints (no SQL oracle — deterministic rows)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(DD.SimHashStage, batch_format="pyarrow",
-                          concurrency=_AC()).select_columns(["doc_id", "simhash"])
+    return ds.map_batches(DD.simhash_batch,
+                          batch_format="pyarrow").select_columns(
+                              ["doc_id", "simhash"])
 
 
 def langid_docs(sf_dir: str):

@@ -442,27 +442,22 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
     return clusters, kept_ds
 
 
-class SimHashStage:
-    """Actor stage: text -> 64-bit simhash fingerprint column.
+def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """text -> 64-bit simhash fingerprint column (stateless task stage).
 
     Token hashes for the whole batch flatten into one hash64_array call and
     one segment-reduce (sketches.simhash64_many) — no per-doc loop."""
-
-    def __init__(self, col: str = "text"):
-        self.col = col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.col).to_pylist()
-        toks: list[str] = []
-        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-        for i, t in enumerate(texts):
-            if t:
-                toks.extend(_WORD_RE.findall(t))
-            offsets[i + 1] = len(toks)
-        flat = (SK.hash64_array(np.array(toks, dtype=object))
-                if toks else np.empty(0, np.uint64))
-        fps = SK.simhash64_many(flat, offsets)
-        return batch.append_column("simhash", pa.array(fps))
+    texts = batch.column(col).to_pylist()
+    toks: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t:
+            toks.extend(_WORD_RE.findall(t))
+        offsets[i + 1] = len(toks)
+    flat = (SK.hash64_array(np.array(toks, dtype=object))
+            if toks else np.empty(0, np.uint64))
+    fps = SK.simhash64_many(flat, offsets)
+    return batch.append_column("simhash", pa.array(fps))
 
 
 def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
@@ -470,8 +465,8 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
     """Near-dup pairs by simhash: bucket on 4 x 16-bit chunks (any pair
     within Hamming r<=3 of 64 bits shares at least one identical 16-bit
     chunk — pigeonhole), groupby chunk buckets, verify Hamming."""
-    fp = ds.map_batches(SimHashStage, fn_constructor_kwargs={"col": col},
-                        batch_format="pyarrow", concurrency=concurrency)
+    fp = ds.map_batches(lambda b: simhash_batch(b, col),
+                        batch_format="pyarrow")
     fp = fp.select_columns([id_col, "simhash"])
 
     def chunk_rows(batch: pa.Table) -> pa.Table:

@@ -95,26 +95,19 @@ def asof_lookup(ds, *, ts_col: str, timeline: np.ndarray,
     before the first entry get null.  ``values`` optionally maps matched
     timeline positions to a payload column."""
     timeline = np.asarray(timeline)
-    payload = {"t": timeline, "v": values}
-    ref = ray.put(payload)
+    ref = ray.put({"t": timeline, "v": values})
 
-    class AsOf:
-        def __init__(self):
-            p = ray.get(ref)
-            self.t, self.v = p["t"], p["v"]
+    def asof(b: pa.Table) -> pa.Table:
+        p = ray.get(ref)  # zero-copy local object-store hit per task
+        t, v = p["t"], p["v"]
+        ts = b.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(t, tv, side="right") - 1
+        ok = idx >= 0
+        src = t if v is None else v
+        vals = src[np.maximum(idx, 0)]
+        return b.append_column(out_col, pa.array(vals, mask=~ok))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ts = b.column(ts_col)
-            if isinstance(ts, pa.ChunkedArray):
-                ts = ts.combine_chunks()
-            tv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.t, tv, side="right") - 1
-            ok = idx >= 0
-            src = self.t if self.v is None else self.v
-            vals = src[np.maximum(idx, 0)]
-            arr = pa.array(vals, mask=~ok)
-            return b.append_column(out_col, arr)
-
-    from katydid_haskell_ray.stages.util import auto_concurrency
-    return ds.map_batches(AsOf, batch_format="pyarrow",
-                          concurrency=auto_concurrency(None))
+    return ds.map_batches(asof, batch_format="pyarrow")

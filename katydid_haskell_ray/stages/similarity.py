@@ -39,49 +39,40 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class TopKScorer:
-    """Actor stage: per-batch local top-k against the broadcast query matrix
-    (fetched once per actor in __init__, never re-shipped per batch)."""
-
-    def __init__(self, queries_ref, k: int, col: str, id_col: str):
-        q = ray.get(queries_ref)
-        self.qids = q["qids"]
-        self.qmat = q["qmat"]  # already normalized, (Q, d) float32
-        self.k = k
-        self.col = col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_embed_matrix(batch, self.col))
-        sims = m @ self.qmat.T  # (n, Q)
-        ids = np.asarray(batch.column(self.id_col).to_pylist())
-        k = min(self.k, sims.shape[0])
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(sims.shape[1]):
-            rows = top[:, qi]
-            out_q.extend([self.qids[qi]] * len(rows))
-            out_id.extend(ids[rows].tolist())
-            out_sim.extend(sims[rows, qi].astype(np.float64).tolist())
-        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
-                         self.id_col: pa.array(out_id),
-                         "sim": pa.array(out_sim, type=pa.float64())})
-
-
 def knn_topk(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
              col: str = "embedding", id_col: str = "vec_id",
              concurrency: int | None = None):
     """Brute-force cosine top-k; returns a pandas frame
-    (query_id, id, sim, rank) with rank 1..k per query (ties broken by id)."""
+    (query_id, id, sim, rank) with rank 1..k per query (ties broken by id).
+
+    The normalized query matrix is ``ray.put`` once; each task's
+    ``ray.get`` is a zero-copy local object-store hit (broadcast state is
+    cheap per TASK — an actor pool here only adds spin-up latency)."""
     import pandas as pd
 
     q = {"qids": list(query_ids),
          "qmat": _normalize(np.asarray(query_vecs, dtype=np.float32))}
     ref = ray.put(q)
-    local = ds.map_batches(
-        TopKScorer, fn_constructor_args=(ref, k, col, id_col),
-        batch_format="pyarrow",
-        concurrency=_sim_concurrency(concurrency)).to_pandas()
+
+    def score(batch: pa.Table) -> pa.Table:
+        qq = ray.get(ref)
+        qids, qmat = qq["qids"], qq["qmat"]
+        m = _normalize(_embed_matrix(batch, col))
+        sims = m @ qmat.T  # (n, Q)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, Q)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            rows = top[:, qi]
+            out_q.extend([qids[qi]] * len(rows))
+            out_id.extend(ids[rows].tolist())
+            out_sim.extend(sims[rows, qi].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         id_col: pa.array(out_id),
+                         "sim": pa.array(out_sim, type=pa.float64())})
+
+    local = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     local["sim"] = local["sim"].round(6)  # stable across summation orders
     local = local.sort_values(["query_id", "sim", id_col],
                               ascending=[True, False, True])
@@ -142,39 +133,34 @@ def knn_topk_lsh(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
     qref = ray.put(q)
     probe_ref = ray.put(probe)
 
-    class BucketScorer:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-            qq = ray.get(qref)
-            self.qids, self.qmat = qq["qids"], qq["qmat"]
-            self.probe = ray.get(probe_ref)
-            self.col, self.id_col, self.k = col, id_col, k
+    def bucket_score(batch: pa.Table) -> pa.Table:
+        planes_b = ray.get(planes_ref)
+        qq = ray.get(qref)
+        qids, qmat_b = qq["qids"], qq["qmat"]
+        probe_b = ray.get(probe_ref)
+        m = _normalize(_embed_matrix(batch, col))
+        bits = (m @ planes_b.T) > 0
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for i in range(bits.shape[1]):
+            bucket = (bucket << 1) | bits[:, i]
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        out_q, out_id, out_sim = [], [], []
+        for b in np.unique(bucket):
+            qis = probe_b.get(int(b))
+            if not qis:
+                continue
+            rows = np.nonzero(bucket == b)[0]
+            sims = m[rows] @ qmat_b[qis].T
+            for ci, qi in enumerate(qis):
+                order = np.argsort(-sims[:, ci])[:k]
+                out_q.extend([qids[qi]] * len(order))
+                out_id.extend(ids[rows[order]].tolist())
+                out_sim.extend(sims[order, ci].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         id_col: pa.array(out_id),
+                         "sim": pa.array(out_sim, type=pa.float64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_embed_matrix(batch, self.col))
-            bits = (m @ self.planes.T) > 0
-            bucket = np.zeros(len(m), dtype=np.int64)
-            for i in range(bits.shape[1]):
-                bucket = (bucket << 1) | bits[:, i]
-            ids = np.asarray(batch.column(self.id_col).to_pylist())
-            out_q, out_id, out_sim = [], [], []
-            for b in np.unique(bucket):
-                qis = self.probe.get(int(b))
-                if not qis:
-                    continue
-                rows = np.nonzero(bucket == b)[0]
-                sims = m[rows] @ self.qmat[qis].T
-                for ci, qi in enumerate(qis):
-                    order = np.argsort(-sims[:, ci])[: self.k]
-                    out_q.extend([self.qids[qi]] * len(order))
-                    out_id.extend(ids[rows[order]].tolist())
-                    out_sim.extend(sims[order, ci].astype(np.float64).tolist())
-            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
-                             self.id_col: pa.array(out_id),
-                             "sim": pa.array(out_sim, type=pa.float64())})
-
-    local = ds.map_batches(BucketScorer, batch_format="pyarrow",
-                           concurrency=_sim_concurrency(concurrency)).to_pandas()
+    local = ds.map_batches(bucket_score, batch_format="pyarrow").to_pandas()
     local["sim"] = local["sim"].round(6)
     local = local.sort_values(["query_id", "sim", id_col],
                               ascending=[True, False, True])
@@ -235,39 +221,33 @@ def knn_topk_ivf(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
     state_ref = ray.put({"centroids": centroids, "qids": list(query_ids),
                          "qmat": qmat, "probe": probe})
 
-    class IVFScorer:
-        def __init__(self):
-            st = ray.get(state_ref)
-            self.cent, self.qids = st["centroids"], st["qids"]
-            self.qmat, self.probe = st["qmat"], st["probe"]
-            self.col, self.id_col, self.k = col, id_col, k
+    def ivf_score(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        cent, qids = st["centroids"], st["qids"]
+        qmat_b, probe_b = st["qmat"], st["probe"]
+        m = _normalize(_embed_matrix(batch, col))
+        assign = np.argmax(m @ cent.T, axis=1)  # (n,)
+        sims = m @ qmat_b.T                     # (n, Q)
+        member = np.zeros_like(sims, dtype=bool)
+        for qi in range(len(qids)):
+            member[:, qi] = np.isin(assign, probe_b[qi])
+        sims[~member] = -np.inf
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col_s = sims[:, qi]
+            rows = np.nonzero(np.isfinite(col_s))[0]
+            if not len(rows):
+                continue
+            order = rows[np.argsort(-col_s[rows])[:k]]
+            out_q.extend([qids[qi]] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(col_s[order].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         id_col: pa.array(out_id),
+                         "sim": pa.array(out_sim, type=pa.float64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_embed_matrix(batch, self.col))
-            assign = np.argmax(m @ self.cent.T, axis=1)  # (n,)
-            sims = m @ self.qmat.T                       # (n, Q)
-            member = np.zeros_like(sims, dtype=bool)
-            for qi in range(len(self.qids)):
-                member[:, qi] = np.isin(assign, self.probe[qi])
-            sims[~member] = -np.inf
-            ids = np.asarray(batch.column(self.id_col).to_pylist())
-            out_q, out_id, out_sim = [], [], []
-            for qi in range(sims.shape[1]):
-                col_s = sims[:, qi]
-                rows = np.nonzero(np.isfinite(col_s))[0]
-                if not len(rows):
-                    continue
-                order = rows[np.argsort(-col_s[rows])[: self.k]]
-                out_q.extend([self.qids[qi]] * len(order))
-                out_id.extend(ids[order].tolist())
-                out_sim.extend(col_s[order].astype(np.float64).tolist())
-            return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
-                             self.id_col: pa.array(out_id),
-                             "sim": pa.array(out_sim, type=pa.float64())})
-
-    local = ds.map_batches(IVFScorer, batch_format="pyarrow",
-                           concurrency=_sim_concurrency(concurrency)
-                           ).to_pandas()
+    local = ds.map_batches(ivf_score, batch_format="pyarrow").to_pandas()
     local["sim"] = local["sim"].round(6)
     local = local.sort_values(["query_id", "sim", id_col],
                               ascending=[True, False, True])

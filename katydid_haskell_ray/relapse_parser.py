@@ -365,39 +365,37 @@ class _Parser:
         raise RelapseSyntaxError(f"expected name, got {v!r}")
 
     def _group(self):
+        """_parenPattern (Parser.hs:378-392): after '(' p, EITHER ')' with a
+        mandatory postfix '*'/'?', OR a '|'/'&' list closed by ')' with no
+        postfix.  A bare group '(p)' is a parse error in the reference."""
         self.expect("(")
-        parts = [self.pattern()]
-        op = None
+        first = self.pattern()
+        kind, v = self.next()
+        if v == ")":
+            kind, v = self.next()
+            if v == "*":
+                return {"star": first}
+            if v == "?":
+                return {"optional": first}
+            raise RelapseSyntaxError(
+                f"bare group needs postfix * or ?, got {v!r}")
+        if v not in ("|", "&"):
+            raise RelapseSyntaxError(f"expected | & or ), got {v!r}")
+        op = v
+        parts = [first, self.pattern()]
         while True:
             kind, v = self.next()
             if v == ")":
                 break
-            if v in ("|", "&"):
-                if op and v != op:
-                    raise RelapseSyntaxError("mixed | and & without parens")
-                op = v
-                parts.append(self.pattern())
-            else:
-                raise RelapseSyntaxError(f"expected | & or ), got {v!r}")
-        if op == "|":
-            out = {"or": parts}
-        elif op == "&":
-            out = {"and": parts}
-        else:
-            out = parts[0]
-        kind, v = self.peek()
-        if v == "*":
-            self.next()
-            return {"star": out}
-        if v == "?":
-            self.next()
-            return {"optional": out}
-        return out
+            if v != op:
+                raise RelapseSyntaxError("mixed | and & without parens")
+            parts.append(self.pattern())
+        return {"or" if op == "|" else "and": parts}
 
     def _list(self, open_, close, sep, key):
+        """sepBy2 with optional trailing separator (Parser.hs:343-349,
+        364-376): '[p,q,]' ok, '[p]' and '[]' parse errors."""
         self.expect(open_)
-        if self.peek()[1] == close:
-            raise RelapseSyntaxError(f"empty {key} list")
         parts = [self.pattern()]
         while True:
             kind, v = self.next()
@@ -405,9 +403,12 @@ class _Parser:
                 break
             if v != sep:
                 raise RelapseSyntaxError(f"expected {sep} or {close}, got {v!r}")
+            if self.peek()[1] == close:
+                self.next()
+                break
             parts.append(self.pattern())
-        if len(parts) == 1:
-            return parts[0]
+        if len(parts) < 2:
+            raise RelapseSyntaxError(f"{key} needs >= 2 elements")
         return {key: parts}
 
     def grammar(self):

@@ -217,3 +217,34 @@ def test_list_literals():
     # list membership via contains
     assert v('a:-> contains($string, []string{"x","y"})', '{"a": "y"}')
     assert not v('a:-> contains($string, []string{"x","y"})', '{"a": "z"}')
+
+
+# Full grammar-level sweep of ParserSpec.hs (:56-350) — every success case
+# must parse, every failure case must raise.
+_PS_OK = [
+    "<empty>", "*", "(*|*)", "(*|*|*)", "(*|*|*|*|*)", "(*&*)", "(*&*&*)",
+    "(*)*", "(*)?", "!(*)", "@name", "[*,*]", "[*,*,*]", "{*;*}", "{*;*;*}",
+    ".*", "== 1", "->eq($int, 1)", "a:*", "_:*", "_[*,*]", 'a:*="b"',
+    '_:*="b"', '._:*="b"', '(._:*="b"|*)',
+    "Person:{Name:*;(Addr:*)?;(Email:*)*}",
+    '(~="^([ \\t\\r\\n\\v\\f])+$")*',
+    'Person:{Name:*;(Addr:*)?;(Email:*)*;(~="^([ \\t\\r\\n\\v\\f])+$")*}',
+    "#main = *", "#main = * #a = *", "* #a = *", "* #a = * #b = *",
+    "!(A):*", "->type($string)", "<= 0", 'A == "F"',
+    "(* & */*spaces*/ )", "A :: $string", "{*;*;}",
+    "(a|b):*", "true:*", '"a":*', "!(a):*",
+    "== int(0114)", "== uint(114)", "== double(2.1)",
+    "->eq($int, length([]int{1,2}))",
+]
+_PS_FAIL = [
+    "(*|*&*)", "(*)", "()", "[*]", "[]", "{}", "{*}", "* *", "((a)):*",
+    "== uint(-12)", "eq($bool, 1):*",
+]
+
+
+def test_parserspec_sweep():
+    for src in _PS_OK:
+        RP.parse(src)  # must not raise
+    for src in _PS_FAIL:
+        with pytest.raises(Exception):
+            RP.parse(src)

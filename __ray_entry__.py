@@ -53,8 +53,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": Q.distinct_users,
         "events_windowed": Q.events_windowed,
         "events_sessions": Q.events_sessions,
+        "events_hopping": Q.events_hopping,
+        "orders_price_bands": Q.orders_price_bands,
         # text analysis + dedup
         "doc_token_stats": Q.doc_token_stats,
+        "doc_len_quantiles": Q.doc_len_quantiles,
+        "sampled_docs": Q.sampled_docs,
         "exact_dedupe_docs": Q.exact_dedupe_docs,
         "dup_doc_groups": Q.dup_doc_groups,
         "minhash_dedupe_docs": Q.minhash_dedupe_docs,   # rows-only
@@ -173,6 +177,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    CAST(SUM(one) AS BIGINT) AS n_events
             FROM flagged GROUP BY user_id
+        """,
+        "events_hopping": """
+            SELECT CAST(floor(epoch(ts) / 1800) * 1800 - j.j * 1800 AS BIGINT)
+                       AS window_start_s,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events CROSS JOIN (VALUES (0), (1)) AS j(j)
+            GROUP BY 1, 2
+        """,
+        "orders_price_bands": """
+            SELECT b.band, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM orders o
+            JOIN (VALUES ('b0_5_50k',    5000.0,  50000.0),
+                         ('b1_50_150k',  50000.0, 150000.0),
+                         ('b2_150_300k', 150000.0, 300000.0),
+                         ('b3_300_500k', 300000.0, 500000.0))
+                 AS b(band, lo, hi)
+              ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+            GROUP BY b.band
+        """,
+        "doc_len_quantiles": r"""
+            WITH tok AS (
+                SELECT CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT CAST(25 AS BIGINT) AS q_pct,
+                   quantile_disc(n_tokens, 0.25) AS n_tokens FROM tok
+            UNION ALL SELECT 50, quantile_disc(n_tokens, 0.5) FROM tok
+            UNION ALL SELECT 90, quantile_disc(n_tokens, 0.9) FROM tok
+            UNION ALL SELECT 99, quantile_disc(n_tokens, 0.99) FROM tok
+        """,
+        "sampled_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

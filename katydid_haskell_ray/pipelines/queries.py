@@ -213,6 +213,54 @@ def events_sessions(sf_dir: str):
                        "n_events": np.int64})
 
 
+def events_hopping(sf_dir: str):
+    """Hopping-window aggregate (width 1h, hop 30min): each event lands in
+    two overlapping windows; the 2x expansion happens inside the per-batch
+    combiner, so only (window, type) partials reach the shuffle."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts": b.column("ts"),
+            "event_type": b.column("event_type"),
+            "value_cents": pa.array(_cents(
+                b.column("value").to_numpy(zero_copy_only=False)))})
+
+    return W.hopping_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        width_s=3600, hop_s=1800, keys=("event_type",),
+        value_col="value_cents", sum_as="sum_value_cents")
+
+
+_PRICE_BANDS = {
+    "labels": np.array(["b0_5_50k", "b1_50_150k", "b2_150_300k",
+                        "b3_300_500k"]),
+    "lower": np.array([5_000.0, 50_000.0, 150_000.0, 300_000.0]),
+    "upper": np.array([50_000.0, 150_000.0, 300_000.0, 500_000.0]),
+}
+
+
+def orders_price_bands(sf_dir: str):
+    """Broadcast range join (stages/join.py:range_lookup): constant
+    interval table -> per-band order count + revenue.  Orders cheaper than
+    the first band drop — inner range-join semantics."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    from katydid_haskell_ray.stages.join import range_lookup
+    banded = range_lookup(ds, value_col="o_totalprice",
+                          lower=_PRICE_BANDS["lower"],
+                          upper=_PRICE_BANDS["upper"],
+                          labels=_PRICE_BANDS["labels"], out_col="band")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"band": b.column("band"),
+                         "cents": pa.array(_cents(
+                             b.column("o_totalprice")
+                             .to_numpy(zero_copy_only=False)))})
+
+    return grouped_sum(banded.map_batches(to_cents, batch_format="pyarrow"),
+                       ["band"], {"sum_cents": "cents"}, count_as="n_orders")
+
+
 # ---------------------------------------------------------------------------
 # text analysis + dedup over documents
 # ---------------------------------------------------------------------------
@@ -240,6 +288,36 @@ def doc_token_stats(sf_dir: str):
         })
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def doc_len_quantiles(sf_dir: str):
+    """Exact p25/p50/p90/p99 of per-doc token counts via the distributed
+    value-histogram (stages/quantiles.py) — the exact twin of the KLL
+    sketch path, DuckDB quantile_disc parity."""
+    from katydid_haskell_ray.stages import quantiles as QT
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_tokens": TX.token_count(b["text"].fillna(""))})
+
+    hist = QT.value_histogram(ds.map_batches(tok, batch_format="pandas"),
+                              "n_tokens")
+    return QT.quantiles_from_histogram(
+        hist, {25: 0.25, 50: 0.5, 90: 0.9, 99: 0.99}, value_name="n_tokens")
+
+
+def sampled_docs(sf_dir: str):
+    """Deterministic hash sample (Knuth multiplicative hash mod 100 < 10):
+    reproducible row sampling — the same rows survive on any cluster size
+    or partitioning, unlike ds.random_sample.  Valid for ids < 2^63/K."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids * 2654435761) % 4294967296 % 100 < 10
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def _augmented_docs(sf_dir: str):

@@ -86,6 +86,42 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
                           n_buckets=n_buckets)
 
 
+def range_lookup(ds, *, value_col: str, lower: np.ndarray, upper: np.ndarray,
+                 labels: np.ndarray, out_col: str = "band",
+                 how: str = "inner"):
+    """Broadcast range (interval) join: label each row with the interval
+    ``[lower[i], upper[i])`` containing ``value_col``.
+
+    The interval table is the SMALL side (bands, SLA tiers, histograms —
+    O(10^2..10^5) rows): its sorted edges ship once via ``ray.put`` and
+    each batch does ONE vectorized searchsorted, so the big side streams
+    with no shuffle at any scale.  Intervals must be non-overlapping and
+    sorted ascending.  ``how="inner"`` drops rows outside every interval;
+    ``how="left"`` keeps them with a null label.
+    """
+    lower = np.asarray(lower)
+    upper = np.asarray(upper)
+    labels = np.asarray(labels)
+    if not (len(lower) == len(upper) == len(labels)):
+        raise ValueError("lower/upper/labels length mismatch")
+    if np.any(lower[1:] < upper[:-1]) or np.any(upper <= lower):
+        raise ValueError("intervals must be sorted and non-overlapping")
+    ref = ray.put({"lo": lower, "hi": upper, "lab": labels})
+
+    def tag(b: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(iv["lo"], v, side="right") - 1
+        ok = (idx >= 0) & (v < iv["hi"][np.maximum(idx, 0)])
+        lab = iv["lab"][np.maximum(idx, 0)]
+        out = b.append_column(out_col, pa.array(lab, mask=~ok))
+        if how == "inner":
+            return out.filter(pa.array(ok))
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def asof_lookup(ds, *, ts_col: str, timeline: np.ndarray,
                 out_col: str = "asof", values: np.ndarray | None = None):
     """Broadcast as-of join: for each row, the latest timeline entry <= ts.

@@ -1,0 +1,59 @@
+"""Exact distributed quantiles over bounded-cardinality columns.
+
+The north-star pairs the KLL sketch (state/sketches.py) with an EXACT twin
+for integer-valued metrics (token counts, dimensions, session lengths):
+a value-histogram shuffle.  Per-batch ``np.unique`` partials act as the
+combiner, the groupby exchanges only (value, count) pairs — O(V) rows per
+block regardless of N — and the final cumulative pick runs over the tiny
+merged histogram.  V (distinct values) must be small relative to N; for
+unbounded / continuous columns use the KLL sketch path instead.
+
+Quantile index convention matches DuckDB's ``quantile_disc``: the element
+at sorted position ``max(ceil(q*N) - 1, 0)`` with q*N computed in IEEE
+double (verified against DuckDB across N in tests).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def value_histogram(ds, col: str):
+    """Dataset -> Dataset[(value, cnt)] exact histogram of an int column."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(vals.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def quantiles_from_histogram(hist, qs: dict[int, float],
+                             value_name: str = "value") -> pd.DataFrame:
+    """Histogram Dataset/frame -> one row per requested quantile.
+
+    ``qs`` maps an integer percent label to the quantile fraction; output
+    columns are (q_pct, <value_name>).  The histogram is tiny (O(V) rows)
+    by construction — materializing it on the driver is the point."""
+    if not isinstance(hist, pd.DataFrame):
+        hist = hist.to_pandas()
+    hist = hist.sort_values("value").reset_index(drop=True)
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["value"].to_numpy()
+    rows = []
+    for pct, q in qs.items():
+        # duckdb quantile_disc parity: double q*N, ceil, clamp at 0
+        idx = max(int(math.ceil(np.float64(q) * n)) - 1, 0)
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        rows.append({"q_pct": np.int64(pct),
+                     value_name: np.int64(vals[min(pos, len(vals) - 1)])})
+    return pd.DataFrame(rows)

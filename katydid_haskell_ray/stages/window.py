@@ -54,6 +54,48 @@ def tumbling_aggregate(ds, *, width_s: int = 3600, keys=("event_type",),
                        Sum("sum_value", alias_name="sum_value")))
 
 
+def hopping_aggregate(ds, *, width_s: int = 3600, hop_s: int = 1800,
+                      keys=("event_type",), value_col: str = "value",
+                      ts_col: str = "ts", sum_as: str = "sum_value"):
+    """count + sum(value) per (window_start_s, *keys) over HOPPING windows
+    (width ``width_s``, advancing every ``hop_s``; width must be a
+    multiple of hop).
+
+    Each row belongs to k = width/hop windows.  The k-fold expansion
+    happens INSIDE the per-batch combiner (np.repeat/np.tile over the
+    projected columns only) and collapses to per-(window, key) partials in
+    the same pass — the exchange carries O(windows x keys) rows per block,
+    never k x N events.
+
+    SQL-equivalent: CROSS JOIN a k-row offset table j, window_start =
+    floor(epoch(ts)/hop)*hop - j*hop, GROUP BY."""
+    from ray.data.aggregate import Sum
+
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b[ts_col].astype("int64").to_numpy()
+        smax = us // hop_us * hop_s  # largest window start, epoch-seconds
+        n = len(b)
+        d = pd.DataFrame({"window_start_s": np.repeat(smax, k)
+                          - np.tile(np.arange(k, dtype=np.int64) * hop_s, n)})
+        for key in keys:
+            d[key] = np.repeat(b[key].to_numpy(), k)
+        d[value_col] = np.repeat(b[value_col].to_numpy(), k)
+        return (d.groupby(["window_start_s", *keys], as_index=False)
+                .agg(**{"n_events": (value_col, "size"),
+                        sum_as: (value_col, "sum")}))
+
+    return (ds.select_columns([ts_col, value_col, *keys])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["window_start_s", *keys])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum(sum_as, alias_name=sum_as)))
+
+
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
                gap_s: int = 1800, n_buckets: int = 64,
                per_key_stats: bool = False):

@@ -256,3 +256,68 @@ def test_stats_partial_all_null_block(ray_session):
     out = Q.stats_rollup(ray.data.from_arrow([t_null, t_val])).to_pandas()
     w = out[out["col"] == "w"].iloc[0]
     assert (w["n"], w["nulls"], w["min_v"], w["max_v"]) == (4, 2, 3, 9)
+
+
+def test_hopping_aggregate(ray_session, sf_dir):
+    import os
+    import ray.data
+    from katydid_haskell_ray.stages import window as W
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    agg = W.hopping_aggregate(ds, width_s=3600, hop_s=1800).to_pandas()
+    ref = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    # every event lands in exactly width/hop = 2 windows
+    assert agg["n_events"].sum() == 2 * len(ref)
+    # window starts are hop-aligned and each tumbling window's rows are a
+    # subset of the union of the two hopping windows covering it
+    assert (agg["window_start_s"] % 1800 == 0).all()
+    with pytest.raises(ValueError):
+        W.hopping_aggregate(ds, width_s=3600, hop_s=1000)
+
+
+def test_range_lookup(ray_session):
+    import ray.data
+    from katydid_haskell_ray.stages.join import range_lookup
+    tab = pa.table({"x": pa.array([1.0, 5.0, 10.0, 15.0, 99.0])})
+    ds = ray.data.from_arrow(tab)
+    inner = range_lookup(ds, value_col="x",
+                         lower=np.array([5.0, 10.0]),
+                         upper=np.array([10.0, 20.0]),
+                         labels=np.array(["a", "b"])).to_pandas()
+    assert list(inner["x"]) == [5.0, 10.0, 15.0]
+    assert list(inner["band"]) == ["a", "b", "b"]
+    left = range_lookup(ds, value_col="x", how="left",
+                        lower=np.array([5.0, 10.0]),
+                        upper=np.array([10.0, 20.0]),
+                        labels=np.array(["a", "b"])).to_pandas()
+    assert len(left) == 5 and left["band"].isna().sum() == 2
+    with pytest.raises(ValueError):
+        range_lookup(ds, value_col="x", lower=np.array([0.0, 1.0]),
+                     upper=np.array([2.0, 3.0]), labels=np.array(["a", "b"]))
+
+
+def test_exact_quantiles_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from katydid_haskell_ray.stages import quantiles as QT
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 37, 5000):
+        vals = rng.integers(0, 40, n).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+        hist = QT.value_histogram(ds, "v")
+        got = QT.quantiles_from_histogram(
+            hist, {25: 0.25, 50: 0.5, 90: 0.9, 99: 0.99}, value_name="v")
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": vals}))
+        for _, r in got.iterrows():
+            q = {25: 0.25, 50: 0.5, 90: 0.9, 99: 0.99}[r["q_pct"]]
+            want = con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            assert r["v"] == want, (n, q)
+
+
+def test_hash_sample_partition_invariant(ray_session):
+    # the sample is a pure per-row predicate: repartitioning must not
+    # change the kept set
+    from katydid_haskell_ray.pipelines import queries as Q
+    a = Q.sampled_docs("/root/testdata/sf0.001").to_pandas()
+    assert (a["doc_id"] * 2654435761 % 4294967296 % 100 < 10).all()

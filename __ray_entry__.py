@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis + dedup
         "doc_token_stats": Q.doc_token_stats,
         "doc_len_quantiles": Q.doc_len_quantiles,
+        "lang_len_quantiles": Q.lang_len_quantiles,
+        "events_rolling": Q.events_rolling,
+        "embed_dedupe": Q.embed_dedupe,
         "sampled_docs": Q.sampled_docs,
         "exact_dedupe_docs": Q.exact_dedupe_docs,
         "dup_doc_groups": Q.dup_doc_groups,
@@ -212,6 +215,37 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 50, quantile_disc(n_tokens, 0.5) FROM tok
             UNION ALL SELECT 90, quantile_disc(n_tokens, 0.9) FROM tok
             UNION ALL SELECT 99, quantile_disc(n_tokens, 0.99) FROM tok
+        """,
+        "lang_len_quantiles": r"""
+            WITH tok AS (
+                SELECT lang,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT lang, CAST(50 AS BIGINT) AS q_pct,
+                   quantile_disc(n_tokens, 0.5) AS n_tokens
+            FROM tok GROUP BY lang
+            UNION ALL
+            SELECT lang, 90, quantile_disc(n_tokens, 0.9)
+            FROM tok GROUP BY lang
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS roll_sum_cents
+            FROM events
+        """,
+        "embed_dedupe": """
+            WITH pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.40
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT b FROM pairs)
         """,
         "sampled_docs": """
             SELECT doc_id, lang, n_chars FROM documents

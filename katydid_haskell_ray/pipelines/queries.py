@@ -306,6 +306,58 @@ def doc_len_quantiles(sf_dir: str):
         hist, {25: 0.25, 50: 0.5, 90: 0.9, 99: 0.99}, value_name="n_tokens")
 
 
+def lang_len_quantiles(sf_dir: str):
+    """Per-group exact quantiles: p50/p90 token count per language via the
+    grouped value-histogram exchange."""
+    from katydid_haskell_ray.stages import quantiles as QT
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": b["lang"],
+                             "n_tokens": TX.token_count(b["text"].fillna(""))})
+
+    hist = QT.grouped_value_histogram(
+        ds.map_batches(tok, batch_format="pandas"), "lang", "n_tokens")
+    return QT.grouped_quantiles_from_histogram(
+        hist, "lang", {50: 0.5, 90: 0.9}, value_name="n_tokens")
+
+
+def events_rolling(sf_dir: str):
+    """Per-user rolling sum (current + 4 preceding events by ts) — the SQL
+    ROWS-window analytic, as a bucketed vectorized pass."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "cents": pa.array(_cents(
+                b.column("value").to_numpy(zero_copy_only=False)))})
+
+    out = W.rolling_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                        key="user_id", order_cols=("ts", "event_id"),
+                        value_col="cents", window=5, out="roll_sum_cents")
+    return out.select_columns(["event_id", "user_id", "roll_sum_cents"])
+
+
+def embed_dedupe(sf_dir: str):
+    """Embedding near-dup filter: drop any vector with a cosine-near
+    neighbor of smaller id (one-hop dominance — deterministic and
+    SQL-expressible, unlike transitive clustering).  The dominated-id set
+    is subtracted with the distributed anti join, not a driver set."""
+    from katydid_haskell_ray.stages.join import hash_join
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = SIM.cosine_near_pairs(ds, threshold=0.40)
+    dominated = ray.data.from_pandas(
+        pairs[["b"]].drop_duplicates().rename(columns={"b": "vec_id"})
+        .astype(np.int64))
+    kept = hash_join(_read(sf_dir, "embeddings", ["vec_id"]), dominated,
+                     key="vec_id", left_cols=["vec_id"],
+                     right_cols=["vec_id"], how="left_anti")
+    return kept.to_pandas().astype(np.int64)
+
+
 def sampled_docs(sf_dir: str):
     """Deterministic hash sample (Knuth multiplicative hash mod 100 < 10):
     reproducible row sampling — the same rows survive on any cluster size

@@ -36,6 +36,36 @@ def value_histogram(ds, col: str):
             .groupby("value").aggregate(Sum("cnt", alias_name="cnt")))
 
 
+def grouped_value_histogram(ds, group_col: str, col: str):
+    """Dataset -> Dataset[(group, value, cnt)] per-group exact histogram."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby([group_col, col], as_index=False)
+               .size().rename(columns={col: "value", "size": "cnt"}))
+        out["value"] = out["value"].astype(np.int64)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby([group_col, "value"])
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def grouped_quantiles_from_histogram(hist, group_col: str,
+                                     qs: dict[int, float],
+                                     value_name: str = "value") -> pd.DataFrame:
+    """Per-group quantile pick over the tiny merged grouped histogram."""
+    if not isinstance(hist, pd.DataFrame):
+        hist = hist.to_pandas()
+    outs = []
+    for gval, sub in hist.groupby(group_col, sort=True):
+        q = quantiles_from_histogram(sub, qs, value_name=value_name)
+        q.insert(0, group_col, gval)
+        outs.append(q)
+    return pd.concat(outs, ignore_index=True)
+
+
 def quantiles_from_histogram(hist, qs: dict[int, float],
                              value_name: str = "value") -> pd.DataFrame:
     """Histogram Dataset/frame -> one row per requested quantile.

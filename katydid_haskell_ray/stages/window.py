@@ -96,6 +96,39 @@ def hopping_aggregate(ds, *, width_s: int = 3600, hop_s: int = 1800,
                        Sum(sum_as, alias_name=sum_as)))
 
 
+def rolling_sum(ds, *, key: str = "user_id", order_cols=("ts", "event_id"),
+                value_col: str = "value", window: int = 5,
+                out: str = "roll_sum", n_buckets: int = 64):
+    """Per-key rolling sum over the current + (window-1) preceding rows in
+    ``order_cols`` order — SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ...
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Scale shape: same coarse-bucket exchange as sessionize — a key never
+    spans buckets, so each bucket runs ONE vectorized pandas pass (sort +
+    C-speed groupby-rolling), never a Python call per key."""
+    from katydid_haskell_ray.state import sketches as SK
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (SK.hash64_array(t.column(key))
+             % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        r = (g.groupby(key, sort=False)[value_col]
+             .rolling(window, min_periods=1).sum()
+             .reset_index(drop=True).to_numpy())
+        out_df = g.drop(columns=["__bucket"]).reset_index(drop=True)
+        out_df[out] = r.astype(g[value_col].dtype)
+        return out_df
+
+    cols = [key, *order_cols, value_col]
+    bucketed = ds.select_columns(cols).map_batches(
+        add_bucket, batch_format="pyarrow")
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
                gap_s: int = 1800, n_buckets: int = 64,
                per_key_stats: bool = False):

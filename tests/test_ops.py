@@ -321,3 +321,41 @@ def test_hash_sample_partition_invariant(ray_session):
     from katydid_haskell_ray.pipelines import queries as Q
     a = Q.sampled_docs("/root/testdata/sf0.001").to_pandas()
     assert (a["doc_id"] * 2654435761 % 4294967296 % 100 < 10).all()
+
+
+def test_rolling_sum_matches_pandas(ray_session, sf_dir):
+    import os
+    import ray.data
+    from katydid_haskell_ray.stages import window as W
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts", "value"])
+    got = (W.rolling_sum(ds, key="user_id", order_cols=("ts", "event_id"),
+                         value_col="value", window=3, out="r")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    ref = (pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+           .sort_values(["user_id", "ts", "event_id"]))
+    ref["r"] = (ref.groupby("user_id")["value"]
+                .rolling(3, min_periods=1).sum().reset_index(drop=True)
+                .to_numpy())
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(got["r"].to_numpy(), ref["r"].to_numpy())
+
+
+def test_grouped_quantiles(ray_session):
+    import duckdb
+    import ray.data
+    from katydid_haskell_ray.stages import quantiles as QT
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.choice(["x", "y", "z"], 500),
+                       "v": rng.integers(0, 30, 500).astype(np.int64)})
+    hist = QT.grouped_value_histogram(ray.data.from_pandas(df), "g", "v")
+    got = (QT.grouped_quantiles_from_histogram(hist, "g", {50: 0.5, 90: 0.9},
+                                               value_name="v")
+           .sort_values(["g", "q_pct"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT g, 50 AS q_pct, quantile_disc(v, 0.5) AS v FROM t GROUP BY g
+        UNION ALL SELECT g, 90, quantile_disc(v, 0.9) FROM t GROUP BY g
+        ORDER BY g, q_pct""").df()
+    assert (got["v"].to_numpy() == want["v"].to_numpy()).all()

@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_stats": Q.images_stats,
         "images_uniqueness": Q.images_uniqueness,
         "images_phash_dups": Q.images_phash_dups,
+        "images_phash_neardups": Q.images_phash_neardups,
         "images_verdicts": Q.images_verdicts,
         "images_grammar_verdicts": Q.images_grammar_verdicts,
         "images_check_failures": Q.images_check_failures,
@@ -402,6 +403,18 @@ def oracle_sql() -> dict[str, str]:
         "images_phash_dups": f"""
             SELECT phash, COUNT(*) AS dup_count FROM {_IMAGES}
             GROUP BY phash HAVING COUNT(*) > 1
+        """,
+        "images_phash_neardups": f"""
+            WITH c AS (
+                SELECT image_id, phash, j.c AS chunk,
+                       (phash >> (16 * j.c)) & 65535 AS val
+                FROM {_IMAGES} CROSS JOIN (VALUES (0),(1),(2),(3)) j(c)
+            )
+            SELECT DISTINCT a.image_id AS a, b.image_id AS b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM c a JOIN c b
+              ON a.chunk = b.chunk AND a.val = b.val AND a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "images_verdicts": f"""
             SELECT image_id, ({pass_expr}) AS pass FROM {_IMAGES}

@@ -531,6 +531,18 @@ def images_phash_dups(sf_dir: str):
     return K.duplicate_keys(ds, "phash")
 
 
+def images_phash_neardups(sf_dir: str):
+    """Perceptual near-duplicate image pairs: EXACT all pairs within
+    Hamming<=3 on phash64 via the pigeonhole chunk exchange
+    (stages/dedupe.py:hamming_near_pairs)."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["image_id", "phash"])
+    out = DD.hamming_near_pairs(ds, id_col="image_id", fp_col="phash",
+                                max_hamming=3)
+    out["hamming"] = out["hamming"].astype(np.int64)
+    return out
+
+
 def images_verdicts(sf_dir: str):
     """Per-row flat-constraint verdict — the per-row pass/fail parity check
     (decode checks are separate: not SQL-expressible)."""

@@ -517,6 +517,68 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
+                       max_hamming: int = 3, n_buckets: int = 64):
+    """EXACT all-pairs within Hamming distance <= max_hamming over a 64-bit
+    fingerprint column (phash, simhash) — every qualifying pair, not the
+    star-per-bucket approximation of simhash_near_pairs.
+
+    Pigeonhole: any pair within r<=3 of 64 bits agrees on >= one of the
+    four 16-bit chunks, so candidate generation is 4 chunk-equality
+    self-joins, each a C-speed pandas self-merge inside a coarse-bucket
+    exchange; verification is one vectorized popcount.  Scale assumption:
+    per-(chunk,val) group sizes stay bounded (the self-merge is quadratic
+    in group size) — true for near-uniform fingerprints; a pathological
+    hot chunk value needs a tighter chunking (8 x 8-bit), not salting,
+    which would break the pigeonhole guarantee.  Returns (a, b, hamming)
+    with a < b, deduplicated across chunks."""
+    fp = ds.select_columns([id_col, fp_col])
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column(fp_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        u = s.view(np.uint64)
+        n = len(s)
+        chunks = np.repeat(np.arange(4, dtype=np.int32), n)
+        vals = np.concatenate([
+            ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
+            for c in range(4)])
+        t = pa.table({"chunk": pa.array(chunks), "val": pa.array(vals),
+                      id_col: pa.array(np.tile(ids, 4)),
+                      fp_col: pa.array(np.tile(s, 4), type=pa.int64())})
+        b = ((vals.astype(np.int64) + chunks.astype(np.int64) * 65536)
+             % n_buckets).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    import pandas as _pd
+
+    def bucket_pairs(g: _pd.DataFrame) -> _pd.DataFrame:
+        m = g.merge(g, on=["chunk", "val"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return _pd.DataFrame({"a": np.array([], dtype=g[id_col].dtype),
+                                  "b": np.array([], dtype=g[id_col].dtype),
+                                  "hamming": np.array([], dtype=np.int64)})
+        d = SK.hamming_distance64(m[f"{fp_col}_a"].to_numpy(),
+                                  m[f"{fp_col}_b"].to_numpy())
+        keep = d <= max_hamming
+        out = _pd.DataFrame({"a": m[f"{id_col}_a"].to_numpy()[keep],
+                             "b": m[f"{id_col}_b"].to_numpy()[keep],
+                             "hamming": d[keep].astype(np.int64)})
+        # a pair can match on several chunks WITHIN this bucket; cross-
+        # bucket repeats are removed by the final distinct.  Dedup keeps
+        # the full triple: duplicate ids make (a, b) pairs with DIFFERENT
+        # hamming values, and all of them are distinct rows
+        return out.drop_duplicates()
+
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    pairs = bucket_map_groups(
+        fp.map_batches(chunk_rows, batch_format="pyarrow"),
+        bucket_pairs, n_buckets=n_buckets, bucket_col="bucket") \
+        .to_pandas().drop_duplicates()
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def ngram_jaccard_pairs_bruteforce(texts: dict, shingle: int = 3,
                                    threshold: float = 0.8):
     """O(n²) exact shingle-Jaccard pairs — the small-scale oracle used to

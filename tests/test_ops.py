@@ -359,3 +359,30 @@ def test_grouped_quantiles(ray_session):
         UNION ALL SELECT g, 90, quantile_disc(v, 0.9) FROM t GROUP BY g
         ORDER BY g, q_pct""").df()
     assert (got["v"].to_numpy() == want["v"].to_numpy()).all()
+
+
+def test_hamming_near_pairs_exact(ray_session):
+    import itertools
+    import ray.data
+    rng = np.random.default_rng(11)
+    base = rng.integers(-2**62, 2**62, 40, dtype=np.int64)
+    fps = list(base)
+    # near copies: flip 1-3 bits of the first ten
+    for i in range(10):
+        flip = np.int64(0)
+        for b in rng.choice(64, 1 + i % 3, replace=False):
+            flip ^= np.int64(1) << np.int64(int(b))
+        fps.append(base[i] ^ flip)
+    ids = [f"id{i:03d}" for i in range(len(fps))]
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(ids),
+        "phash": pa.array(np.array(fps, dtype=np.int64))}))
+    got = DD.hamming_near_pairs(ds, id_col="image_id", fp_col="phash",
+                                max_hamming=3)
+    want = set()
+    u = np.array(fps, dtype=np.int64).view(np.uint64)
+    for i, j in itertools.combinations(range(len(fps)), 2):
+        d = bin(int(u[i] ^ u[j])).count("1")
+        if d <= 3:
+            want.add((ids[i], ids[j], d))
+    assert set(map(tuple, got.to_numpy())) == want and len(got) == len(want)

@@ -537,10 +537,8 @@ def images_phash_neardups(sf_dir: str):
     (stages/dedupe.py:hamming_near_pairs)."""
     ds = ray.data.read_parquet(images_parquet(sf_dir),
                                columns=["image_id", "phash"])
-    out = DD.hamming_near_pairs(ds, id_col="image_id", fp_col="phash",
-                                max_hamming=3)
-    out["hamming"] = out["hamming"].astype(np.int64)
-    return out
+    return DD.hamming_near_pairs(ds, id_col="image_id", fp_col="phash",
+                                 max_hamming=3)
 
 
 def images_verdicts(sf_dir: str):

@@ -530,8 +530,13 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
     per-(chunk,val) group sizes stay bounded (the self-merge is quadratic
     in group size) — true for near-uniform fingerprints; a pathological
     hot chunk value needs a tighter chunking (8 x 8-bit), not salting,
-    which would break the pigeonhole guarantee.  Returns (a, b, hamming)
-    with a < b, deduplicated across chunks."""
+    which would break the pigeonhole guarantee.
+
+    Fully distributed: each pair is emitted only at its FIRST agreeing
+    chunk, and the residual duplicate triples (same-id rows with distinct
+    fingerprints converging on identical triples) are removed through a
+    second pair-keyed exchange — nothing materializes on the driver.
+    Returns a Dataset of (a, b, hamming), a < b, globally distinct."""
     fp = ds.select_columns([id_col, fp_col])
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
@@ -559,24 +564,40 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
             return _pd.DataFrame({"a": np.array([], dtype=g[id_col].dtype),
                                   "b": np.array([], dtype=g[id_col].dtype),
                                   "hamming": np.array([], dtype=np.int64)})
-        d = SK.hamming_distance64(m[f"{fp_col}_a"].to_numpy(),
-                                  m[f"{fp_col}_b"].to_numpy())
-        keep = d <= max_hamming
+        fa = m[f"{fp_col}_a"].to_numpy()
+        fb = m[f"{fp_col}_b"].to_numpy()
+        d = SK.hamming_distance64(fa, fb)
+        # emit a fingerprint pair only at its FIRST agreeing chunk, so a
+        # pair matching several chunks never repeats across buckets
+        x = fa.view(np.uint64) ^ fb.view(np.uint64)
+        first = np.full(len(m), 4, dtype=np.int64)
+        for c in (3, 2, 1, 0):
+            agree = ((x >> np.uint64(16 * c)) & np.uint64(0xFFFF)) == 0
+            first[agree] = c
+        keep = (d <= max_hamming) & (first == m["chunk"].to_numpy())
         out = _pd.DataFrame({"a": m[f"{id_col}_a"].to_numpy()[keep],
                              "b": m[f"{id_col}_b"].to_numpy()[keep],
                              "hamming": d[keep].astype(np.int64)})
-        # a pair can match on several chunks WITHIN this bucket; cross-
-        # bucket repeats are removed by the final distinct.  Dedup keeps
-        # the full triple: duplicate ids make (a, b) pairs with DIFFERENT
-        # hamming values, and all of them are distinct rows
+        # duplicate ids can still converge on identical triples via
+        # DIFFERENT fingerprints (distinct first chunks); the pair-keyed
+        # dedup exchange below removes those globally
         return out.drop_duplicates()
 
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
     pairs = bucket_map_groups(
         fp.map_batches(chunk_rows, batch_format="pyarrow"),
-        bucket_pairs, n_buckets=n_buckets, bucket_col="bucket") \
-        .to_pandas().drop_duplicates()
-    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+        bucket_pairs, n_buckets=n_buckets, bucket_col="bucket")
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        h = (SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b"))) \
+            % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(h.astype(np.int32)))
+
+    dedup = bucket_map_groups(
+        pairs.map_batches(pair_bucket, batch_format="pyarrow"),
+        lambda g: g.drop(columns="__bucket").drop_duplicates(),
+        n_buckets=n_buckets)
+    return dedup
 
 
 def ngram_jaccard_pairs_bruteforce(texts: dict, shingle: int = 3,

@@ -378,7 +378,7 @@ def test_hamming_near_pairs_exact(ray_session):
         "image_id": pa.array(ids),
         "phash": pa.array(np.array(fps, dtype=np.int64))}))
     got = DD.hamming_near_pairs(ds, id_col="image_id", fp_col="phash",
-                                max_hamming=3)
+                                max_hamming=3).to_pandas()
     want = set()
     u = np.array(fps, dtype=np.int64).view(np.uint64)
     for i, j in itertools.combinations(range(len(fps)), 2):

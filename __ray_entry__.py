@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": Q.top_orders_per_segment,
         "part_filter_like": Q.part_filter_like,
         "events_props_valid": Q.events_props_valid,
+        "props_flatten": Q.props_flatten,
+        "stratified_sample_docs": Q.stratified_sample_docs,
+        "user_event_pivot": Q.user_event_pivot,
         "props_name_choice": Q.props_name_choice,
         "isprime_quantity": Q.isprime_quantity,
         "order_priority_revenue": Q.order_priority_revenue,
@@ -348,6 +351,28 @@ def oracle_sql() -> dict[str, str]:
                             AND CAST(json_extract(props, '$.k') AS BIGINT) < 90,
                             FALSE) AS pass
             FROM events
+        """,
+        "props_flatten": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents) WHERE rn <= 5
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (event_type = 'error')    AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

@@ -705,6 +705,52 @@ def props_name_choice(sf_dir: str):
     return out.select_columns(["event_id", "pass"])
 
 
+def props_flatten(sf_dir: str):
+    """Semi-structured flatten (stages/flatten.py): the events props JSON
+    column becomes a typed int64 column; oracle via DuckDB json_extract."""
+    from katydid_haskell_ray.stages.flatten import JsonFlatten
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return ds.map_batches(
+        JsonFlatten, fn_constructor_args=("props", {"k": ("k", "int")},
+                                          ["event_id"]),
+        batch_format="pyarrow", concurrency=_AC())
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Stratified deterministic sample: 5 docs per language, ordered by
+    the multiplicative hash (grouped top-k combiner — the ROW_NUMBER()<=k
+    window pattern, scale-safe for millions of strata)."""
+    from katydid_haskell_ray.stages.topk import grouped_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("hkey", pa.array(
+            (ids * 2654435761) % 4294967296))
+
+    out = grouped_topk(ds.map_batches(prep, batch_format="pyarrow"),
+                       group_cols=["lang"], k=5,
+                       by=["hkey", "doc_id"], ascending=[True, True])
+    return out.select_columns(["lang", "doc_id"])
+
+
+def user_event_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: per-user event counts, one column
+    per event type (indicator columns through the combiner groupby)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = {"user_id": b["user_id"]}
+        for t in types:
+            d[f"n_{t}"] = (b["event_type"] == t).to_numpy(dtype=np.int64)
+        return pd.DataFrame(d)
+
+    return grouped_sum(ds.map_batches(prep, batch_format="pandas"),
+                       ["user_id"], {f"n_{t}": f"n_{t}" for t in types},
+                       count_as=None)
+
+
 def _ensure_isprime():
     """Register the example UDF library (registry is per-process state —
     called inside the map function, in each worker)."""

@@ -25,3 +25,36 @@ def topk_rows(ds, *, k: int, by: list[str], ascending: list[bool],
     parts = ds.map_batches(local, batch_format="pandas").to_pandas()
     return (parts.sort_values(by, ascending=ascending, kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def grouped_topk(ds, *, group_cols: list[str], k: int, by: list[str],
+                 ascending: list[bool], n_buckets: int = 64):
+    """Per-group top-k (the ROW_NUMBER() <= k window pattern) without a
+    total sort: a per-batch combiner keeps each group's local top-k, then
+    a group-hash bucketed exchange takes the final head per group — scales
+    to millions of groups (exchange volume O(groups x k x blocks) after
+    the combiner, one vectorized pass per bucket).  Ties must be broken by
+    ``by`` itself (include a unique tiebreaker column)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(by, ascending=ascending, kind="mergesort")
+                .groupby(group_cols, sort=False).head(k))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select(group_cols).to_pandas(), index=False).to_numpy()
+        return t.append_column("__bucket", pa.array(
+            (h % np.uint64(n_buckets)).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns="__bucket")
+                .sort_values(by, ascending=ascending, kind="mergesort")
+                .groupby(group_cols, sort=False).head(k))
+
+    partials = ds.map_batches(local, batch_format="pandas").map_batches(
+        add_bucket, batch_format="pyarrow")
+    return bucket_map_groups(partials, per_bucket, n_buckets=n_buckets)

@@ -386,3 +386,46 @@ def test_hamming_near_pairs_exact(ray_session):
         if d <= 3:
             want.add((ids[i], ids[j], d))
     assert set(map(tuple, got.to_numpy())) == want and len(got) == len(want)
+
+
+def test_json_flatten_types(ray_session):
+    import ray.data
+    from katydid_haskell_ray.stages.flatten import JsonFlatten
+    tab = pa.table({"id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+                    "j": pa.array(['{"k": 7, "s": "x", "d": 1.5, "b": true}',
+                                   '{"k": "notint"}', '{"other": 1}',
+                                   'not json', None, '{"k": true}'])})
+    out = (ray.data.from_arrow(tab)
+           .map_batches(JsonFlatten,
+                        fn_constructor_args=("j", {"k": ("k", "int"),
+                                                   "s": ("s", "string"),
+                                                   "d": ("d", "double"),
+                                                   "b": ("b", "bool")},
+                                             ["id"]),
+                        batch_format="pyarrow", concurrency=2)
+           .to_pandas().sort_values("id"))
+    assert list(out["k"].astype("Int64")) == [7] + [pd.NA] * 5
+    assert out["s"].iloc[0] == "x" and out["s"].isna().sum() == 5
+    assert out["d"].iloc[0] == 1.5
+    # bool is not an int; int is not a bool (katydid type strictness)
+    assert out["b"].iloc[0] == True  # noqa: E712
+    assert out["b"].isna().iloc[5]  # {"k": true} carries no "b" key
+
+
+def test_grouped_topk(ray_session):
+    import ray.data
+    from katydid_haskell_ray.stages.topk import grouped_topk
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 300),
+                       "v": rng.permutation(300).astype(np.int64),
+                       "id": np.arange(300, dtype=np.int64)})
+    got = (grouped_topk(ray.data.from_pandas(df), group_cols=["g"], k=4,
+                        by=["v", "id"], ascending=[False, True])
+           .to_pandas().sort_values(["g", "v"],
+                                    ascending=[True, False])
+           .reset_index(drop=True))
+    want = (df.sort_values(["v", "id"], ascending=[False, True])
+            .groupby("g", sort=False).head(4)
+            .sort_values(["g", "v"], ascending=[True, False])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -461,76 +461,32 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
-                       max_hamming: int = 3, concurrency: int = 4) -> "pd.DataFrame":
-    """Near-dup pairs by simhash: bucket on 4 x 16-bit chunks (any pair
-    within Hamming r<=3 of 64 bits shares at least one identical 16-bit
-    chunk — pigeonhole), groupby chunk buckets, verify Hamming."""
-    fp = ds.map_batches(lambda b: simhash_batch(b, col),
-                        batch_format="pyarrow")
-    fp = fp.select_columns([id_col, "simhash"])
-
-    def chunk_rows(batch: pa.Table) -> pa.Table:
-        s = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        u = s.view(np.uint64)
-        n = len(s)
-        chunks = np.repeat(np.arange(4, dtype=np.int32), n)
-        vals = np.concatenate([
-            ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
-            for c in range(4)])
-        return pa.table({"chunk": pa.array(chunks),
-                         "val": pa.array(vals),
-                         id_col: pa.array(np.tile(ids, 4)),
-                         "simhash": pa.array(np.tile(s, 4), type=pa.int64())})
-
-    import pandas as _pd
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        # coarse bucket over (chunk, val) to avoid near-singleton groups
-        c = t.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = ((v + c * 65536) % 64).astype(np.int32)
-        return t.append_column("bucket", pa.array(b))
-
-    def bucket_pairs(g: _pd.DataFrame) -> _pd.DataFrame:
-        g = g.sort_values(["chunk", "val", id_col])
-        grp = g.groupby(["chunk", "val"])
-        first_id = grp[id_col].transform("first")
-        first_fp = grp["simhash"].transform("first")
-        rest = g[g[id_col] != first_id]
-        if not len(rest):
-            return _pd.DataFrame({"a": [], "b": [], "hamming": []})
-        d = SK.hamming_distance64(first_fp[g[id_col] != first_id].to_numpy(),
-                                  rest["simhash"].to_numpy())
-        keep = d <= max_hamming
-        return _pd.DataFrame({
-            "a": first_id[g[id_col] != first_id].to_numpy()[keep],
-            "b": rest[id_col].to_numpy()[keep],
-            "hamming": d[keep].astype(np.int64)})
-
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    pairs = bucket_map_groups(
-        fp.map_batches(chunk_rows, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow"),
-        bucket_pairs, n_buckets=64, bucket_col="bucket") \
-        .to_pandas().drop_duplicates(subset=["a", "b"])
-    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+                       max_hamming: int = 3, concurrency: int = 4):
+    """EXACT near-dup pairs by simhash: fingerprint per batch, then the
+    generic pigeonhole Hamming pair operator (every qualifying pair, any
+    radius).  Returns a Dataset of (a, b, hamming), a < b."""
+    fp = (ds.map_batches(lambda b: simhash_batch(b, col),
+                         batch_format="pyarrow")
+          .select_columns([id_col, "simhash"]))
+    return hamming_near_pairs(fp, id_col=id_col, fp_col="simhash",
+                              max_hamming=max_hamming)
 
 
 def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
                        max_hamming: int = 3, n_buckets: int = 64):
     """EXACT all-pairs within Hamming distance <= max_hamming over a 64-bit
     fingerprint column (phash, simhash) — every qualifying pair, not the
-    star-per-bucket approximation of simhash_near_pairs.
+    star-per-bucket approximation this module used to ship for simhash.
 
-    Pigeonhole: any pair within r<=3 of 64 bits agrees on >= one of the
-    four 16-bit chunks, so candidate generation is 4 chunk-equality
-    self-joins, each a C-speed pandas self-merge inside a coarse-bucket
-    exchange; verification is one vectorized popcount.  Scale assumption:
-    per-(chunk,val) group sizes stay bounded (the self-merge is quadratic
-    in group size) — true for near-uniform fingerprints; a pathological
-    hot chunk value needs a tighter chunking (8 x 8-bit), not salting,
-    which would break the pigeonhole guarantee.
+    Pigeonhole: any pair within Hamming r of 64 bits agrees exactly on at
+    least one of r+1 disjoint chunks, so candidate generation is r+1
+    chunk-equality self-joins, each a C-speed pandas self-merge inside a
+    coarse-bucket exchange; verification is one vectorized popcount.
+    Scale assumption: per-(chunk,val) group sizes stay bounded (the
+    self-merge is quadratic in group size) — true for near-uniform
+    fingerprints; a pathological hot chunk value needs MORE chunks (finer
+    split still pigeonholes as long as chunks >= r+1), never salting,
+    which would break the guarantee.
 
     Fully distributed: each pair is emitted only at its FIRST agreeing
     chunk, and the residual duplicate triples (same-id rows with distinct
@@ -539,20 +495,30 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
     Returns a Dataset of (a, b, hamming), a < b, globally distinct."""
     fp = ds.select_columns([id_col, fp_col])
 
+    # r+1 disjoint chunks covering the 64 bits (widths differ by <= 1)
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)
+              for i in range(n_chunks)]
+    shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+    masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
+
+    def _chunk_vals(u: np.ndarray, c: int) -> np.ndarray:
+        return ((u >> shifts[c]) & masks[c]).view(np.int64)
+
     def chunk_rows(batch: pa.Table) -> pa.Table:
         s = batch.column(fp_col).to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         u = s.view(np.uint64)
         n = len(s)
-        chunks = np.repeat(np.arange(4, dtype=np.int32), n)
-        vals = np.concatenate([
-            ((u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
-            for c in range(4)])
+        chunks = np.repeat(np.arange(n_chunks, dtype=np.int32), n)
+        vals = np.concatenate([_chunk_vals(u, c) for c in range(n_chunks)])
         t = pa.table({"chunk": pa.array(chunks), "val": pa.array(vals),
-                      id_col: pa.array(np.tile(ids, 4)),
-                      fp_col: pa.array(np.tile(s, 4), type=pa.int64())})
-        b = ((vals.astype(np.int64) + chunks.astype(np.int64) * 65536)
-             % n_buckets).astype(np.int32)
+                      id_col: pa.array(np.tile(ids, n_chunks)),
+                      fp_col: pa.array(np.tile(s, n_chunks),
+                                       type=pa.int64())})
+        b = ((vals * 1315423911 + chunks) % n_buckets).astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
     import pandas as _pd
@@ -570,9 +536,9 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
         # emit a fingerprint pair only at its FIRST agreeing chunk, so a
         # pair matching several chunks never repeats across buckets
         x = fa.view(np.uint64) ^ fb.view(np.uint64)
-        first = np.full(len(m), 4, dtype=np.int64)
-        for c in (3, 2, 1, 0):
-            agree = ((x >> np.uint64(16 * c)) & np.uint64(0xFFFF)) == 0
+        first = np.full(len(m), n_chunks, dtype=np.int64)
+        for c in range(n_chunks - 1, -1, -1):
+            agree = ((x >> shifts[c]) & masks[c]) == 0
             first[agree] = c
         keep = (d <= max_hamming) & (first == m["chunk"].to_numpy())
         out = _pd.DataFrame({"a": m[f"{id_col}_a"].to_numpy()[keep],

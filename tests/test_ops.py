@@ -64,11 +64,24 @@ def test_minhash_tail_paths_agree(docs_ds):
 
 
 def test_simhash_pairs(docs_ds):
-    pairs = DD.simhash_near_pairs(docs_ds, max_hamming=6, concurrency=2)
+    pairs = DD.simhash_near_pairs(docs_ds, max_hamming=6,
+                                  concurrency=2).to_pandas()
     got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
     # exact dups have identical simhash -> always found
     for orig, copy in zip(range(20, 25), range(200, 205)):
         assert (orig, copy) in got, (orig, copy)
+    # exactness: matches the brute-force O(n^2) pair set
+    import itertools
+    fp = DD.simhash_batch(pa.Table.from_pandas(docs_ds.to_pandas()))
+    ids = fp.column("doc_id").to_pylist()
+    sims = fp.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+    want = set()
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        if bin(int(sims[i] ^ sims[j])).count("1") <= 6:
+            a, b = sorted((ids[i], ids[j]))
+            if a != b:
+                want.add((a, b))
+    assert got == want
 
 
 def test_knn_lsh_recall(ray_session, sf_dir):

@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_docs": Q.sampled_docs,
         "exact_dedupe_docs": Q.exact_dedupe_docs,
         "dup_doc_groups": Q.dup_doc_groups,
-        "minhash_dedupe_docs": Q.minhash_dedupe_docs,   # rows-only
+        "minhash_dedupe_docs": Q.minhash_dedupe_docs,
         "simhash_docs": Q.simhash_docs,                 # rows-only
         "langid_docs": Q.langid_docs,                   # rows-only
         # similarity search
@@ -277,6 +277,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
                    COUNT(*) AS n_copies
             FROM ({_AUG_DOCS}) GROUP BY text HAVING COUNT(*) > 1
+        """,
+        "minhash_dedupe_docs": rf"""
+            -- brute-force oracle: EXACT word-3-shingle Jaccard >= 0.5 over
+            -- all pairs, components via recursive transitive closure,
+            -- cluster = min id of component.  The Ray side's LSH candidate
+            -- generation is probabilistic but its verify stage keeps only
+            -- exact-Jaccard edges, and at these parameters (k=128, 32
+            -- bands) recall is 1.0 on this corpus, so the cluster sets
+            -- agree exactly.
+            WITH RECURSIVE docs AS ({_AUG_DOCS}),
+            tok AS (SELECT doc_id, list_filter(
+                        regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+                    FROM docs),
+            sh AS (SELECT doc_id, list_distinct(
+                       CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       END) AS s
+                   FROM tok),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN TRUE
+                      ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+                      END
+            ),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+            FROM reach GROUP BY src
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -414,8 +414,9 @@ def dup_doc_groups(sf_dir: str):
 
 
 def minhash_dedupe_docs(sf_dir: str):
-    """Near-dup clusters over the augmented corpus (no SQL oracle — verified
-    against the brute-force Jaccard oracle in tests)."""
+    """Near-dup clusters over the augmented corpus; oracle = brute-force
+    shingle-Jaccard pairs + recursive-CTE transitive closure in DuckDB
+    (plus the brute-force cross-check in tests)."""
     clusters, _ = DD.minhash_dedupe(
         _augmented_docs(sf_dir), threshold=0.5, concurrency=None,
         kept=False)

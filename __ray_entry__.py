@@ -66,7 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_doc_groups": Q.dup_doc_groups,
         "minhash_dedupe_docs": Q.minhash_dedupe_docs,
         "simhash_docs": Q.simhash_docs,                 # rows-only
-        "langid_docs": Q.langid_docs,                   # rows-only
+        "langid_docs": Q.langid_docs,
         # similarity search
         "knn_brute": Q.knn_brute,
         "knn_lsh": Q.knn_lsh,                           # rows-only
@@ -313,6 +313,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
             FROM reach GROUP BY src
+        """,
+        "langid_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> ''), x -> lower(x))) AS t
+                FROM documents),
+            scores AS (
+                SELECT doc_id,
+                    len(list_intersect(t, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+                    len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) AS s_de,
+                    len(list_intersect(t, ['le','la','les','et','est','un','une','pour','dans','que'])) AS s_fr,
+                    len(list_intersect(t, ['el','la','los','y','es','un','una','para','en','que'])) AS s_es
+                FROM toks)
+            SELECT doc_id, CASE
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                -- first profile in (en, de, fr, es) order wins ties,
+                -- mirroring the strict > update in functions/text.py
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_guess
+            FROM documents JOIN scores USING (doc_id)
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -62,8 +62,9 @@ def quality_metrics(texts: pd.Series) -> pd.DataFrame:
 
 def lang_id(texts: pd.Series) -> pd.Series:
     """Stopword-profile language guess; 'und' (undetermined) when no
-    profile scores > 0.  Heuristic — not SQL-expressible; tested against
-    hand-labeled fixtures."""
+    profile scores > 0.  SQL-equivalent: list_intersect of distinct
+    lowered tokens against each profile, argmax with first-profile-wins
+    ties (langid_docs oracle)."""
     out = []
     for t in texts.fillna(""):
         toks = set(w.lower() for w in t.split())

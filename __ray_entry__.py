@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_counts": Q.customer_urgent_counts,
         "events_asof_order": Q.events_asof_order,
         "distinct_event_types": Q.distinct_event_types,
+        "users_per_type": Q.users_per_type,
         # images (input_hint table)
         "images_stats": Q.images_stats,
         "images_uniqueness": Q.images_uniqueness,
@@ -336,6 +337,11 @@ def oracle_sql() -> dict[str, str]:
                 WHEN s_fr >= s_es THEN 'fr'
                 ELSE 'es' END AS lang_guess
             FROM documents JOIN scores USING (doc_id)
+        """,
+        "users_per_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -927,6 +927,14 @@ def events_asof_order(sf_dir: str):
     return out.select_columns(["event_id", "last_order_s"])
 
 
+def users_per_type(sf_dir: str):
+    """Exact grouped distinct count (COUNT(DISTINCT user) per event type)
+    via the pair-dedup bucketed exchange."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return K.grouped_distinct_count(ds, "event_type", "user_id",
+                                    out="n_users")
+
+
 def distinct_event_types(sf_dir: str):
     """Dataset.unique demonstration (the distinct-values wide op)."""
     vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")

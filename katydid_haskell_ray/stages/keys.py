@@ -129,3 +129,36 @@ class BloomProbe:
         ok = self.bloom.contains_hashes(hashes)
         ok = np.where(null, False, ok)
         return batch.append_column(self.out_col, pa.array(ok))
+
+
+def grouped_distinct_count(ds, group: str, key: str, n_buckets: int = 64,
+                           out: str = "n_distinct"):
+    """Exact COUNT(DISTINCT key) per group.
+
+    Per-batch (group, key) dedup partials -> key-hash bucketed exchange
+    (a (group, key) pair lands in exactly one bucket, so per-bucket
+    nunique partials sum exactly) -> tiny (group, n) rollup.  Exchange
+    volume is O(distinct pairs), never the raw rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[group, key]].drop_duplicates()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = SK.hash64_array(t.column(key)) % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(h.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop_duplicates([group, key])
+                .groupby(group, as_index=False)[key].nunique()
+                .rename(columns={key: out}))
+
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    parts = bucket_map_groups(
+        ds.select_columns([group, key])
+        .map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        per_bucket, n_buckets=n_buckets).to_pandas()
+    return (parts.groupby(group, as_index=False)[out].sum()
+            .astype({out: np.int64}))

@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_name_choice": Q.props_name_choice,
         "isprime_quantity": Q.isprime_quantity,
         "order_priority_revenue": Q.order_priority_revenue,
+        "lineitem_group_share": Q.lineitem_group_share,
         "customers_no_urgent": Q.customers_no_urgent,
         "customer_urgent_counts": Q.customer_urgent_counts,
         "events_asof_order": Q.events_asof_order,
@@ -338,6 +339,18 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'es' END AS lang_guess
             FROM documents JOIN scores USING (doc_id)
         """,
+        "lineitem_group_share": """
+            SELECT l.l_orderkey, l.l_returnflag, l.l_linenumber,
+                   CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+                   g.grp_cents
+            FROM lineitem l JOIN (
+                SELECT l_orderkey, l_returnflag,
+                       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS grp_cents
+                FROM lineitem GROUP BY 1, 2) g
+              ON l.l_orderkey = g.l_orderkey
+             AND l.l_returnflag = g.l_returnflag
+        """,
         "users_per_type": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
@@ -495,15 +508,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY phash HAVING COUNT(*) > 1
         """,
         "images_phash_neardups": f"""
-            WITH c AS (
-                SELECT image_id, phash, j.c AS chunk,
+            WITH fp AS (
+                SELECT phash, COUNT(*) AS n FROM {_IMAGES} GROUP BY phash
+            ), c AS (
+                SELECT phash, n, j.c AS chunk,
                        (phash >> (16 * j.c)) & 65535 AS val
-                FROM {_IMAGES} CROSS JOIN (VALUES (0),(1),(2),(3)) j(c)
+                FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) j(c)
             )
-            SELECT DISTINCT a.image_id AS a, b.image_id AS b,
-                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            SELECT DISTINCT a.phash AS phash_a, b.phash AS phash_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+                   CAST(a.n * b.n AS BIGINT) AS n_pairs
             FROM c a JOIN c b
-              ON a.chunk = b.chunk AND a.val = b.val AND a.image_id < b.image_id
+              ON a.chunk = b.chunk AND a.val = b.val AND a.phash < b.phash
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "images_verdicts": f"""

@@ -57,11 +57,13 @@ def images_parquet(sf_dir: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def grouped_sum(ds, keys: list[str], sums: dict[str, str], count_as: str | None):
-    """Partial-aggregate per batch (pandas groupby), then a global groupby
-    over the tiny partial stream — the combiner-before-shuffle pattern.
+def grouped_sum(ds, keys: list[str], sums: dict[str, str],
+                count_as: str | None, n_buckets: int = 64):
+    """Partial-aggregate per batch (pandas groupby), then a key-hash
+    bucketed exchange over the tiny partial stream — the combiner-before-
+    shuffle pattern on the raw-task exchange (Ray's sort-based groupby
+    costs ~10s of pure overhead on a 60k-row partial stream).
     ``sums`` maps output column -> input column (summed)."""
-    from ray.data.aggregate import Sum
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         agg = {out: (src, "sum") for out, src in sums.items()}
@@ -70,11 +72,9 @@ def grouped_sum(ds, keys: list[str], sums: dict[str, str], count_as: str | None)
             agg[count_as] = (any_col, "size")
         return b.groupby(list(keys), as_index=False).agg(**agg)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(out, alias_name=out) for out in sums]
-    if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    return partials.groupby(list(keys)).aggregate(*aggs)
+    from katydid_haskell_ray.stages.exchange import bucketed_group_sum
+    return bucketed_group_sum(ds.map_batches(partial, batch_format="pandas"),
+                              list(keys), n_buckets=n_buckets)
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -158,9 +158,10 @@ def filter_docs(sf_dir: str):
 def docs_top_tokens(sf_dir: str):
     """Corpus heavy hitters: vectorized whitespace token explode ->
     per-batch partial counts (combiner: only (token, n) partials enter the
-    exchange, never the exploded token stream) -> groupby-sum over the
-    vocabulary -> distributed top-k (stages/topk.py, no total sort)."""
-    from ray.data.aggregate import Sum
+    exchange, never the exploded token stream) -> bucketed exchange sum
+    over the vocabulary -> distributed top-k (stages/topk.py, no total
+    sort)."""
+    from katydid_haskell_ray.stages.exchange import bucketed_group_sum
     from katydid_haskell_ray.stages.topk import topk_rows
 
     ds = _read(sf_dir, "documents", ["text"])
@@ -171,10 +172,10 @@ def docs_top_tokens(sf_dir: str):
         toks = toks.filter(pc.not_equal(toks, ""))
         vc = toks.value_counts()
         return pa.table({"token": vc.field("values"),
-                         "n": vc.field("counts")})
+                         "n": vc.field("counts").cast(pa.int64())})
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("token").aggregate(Sum("n", alias_name="n")))
+    counts = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"])
     out = topk_rows(counts, k=20, by=["n", "token"],
                     ascending=[False, True])
     return out.astype({"n": np.int64})
@@ -211,6 +212,33 @@ def events_sessions(sf_dir: str):
                        per_key_stats=True).to_pandas()
     return out.astype({"user_id": np.int64, "n_sessions": np.int64,
                        "n_events": np.int64})
+
+
+def lineitem_group_share(sf_dir: str):
+    """Composite-key partitioned self-join: every line item joined back to
+    its (order, returnflag) group revenue — the windowed-ratio pattern,
+    exercising the multi-column join key (tuple-hash bucketing)."""
+    from katydid_haskell_ray.stages.join import hash_join
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linenumber": b.column("l_linenumber"),
+            "price_cents": pa.array(_cents(
+                b.column("l_extendedprice").to_numpy(zero_copy_only=False)))})
+
+    li = _read(sf_dir, "lineitem", cols).map_batches(
+        prep, batch_format="pyarrow")
+    grp = grouped_sum(
+        li.map_batches(lambda t: t.drop_columns(["l_linenumber"]),
+                       batch_format="pyarrow"),
+        ["l_orderkey", "l_returnflag"], {"grp_cents": "price_cents"},
+        count_as=None)
+    return hash_join(li, grp, key=["l_orderkey", "l_returnflag"],
+                     left_cols=["l_linenumber", "price_cents"],
+                     right_cols=["grp_cents"])
 
 
 def events_hopping(sf_dir: str):
@@ -533,13 +561,63 @@ def images_phash_dups(sf_dir: str):
 
 
 def images_phash_neardups(sf_dir: str):
-    """Perceptual near-duplicate image pairs: EXACT all pairs within
-    Hamming<=3 on phash64 via the pigeonhole chunk exchange
-    (stages/dedupe.py:hamming_near_pairs)."""
-    ds = ray.data.read_parquet(images_parquet(sf_dir),
-                               columns=["image_id", "phash"])
-    return DD.hamming_near_pairs(ds, id_col="image_id", fp_col="phash",
-                                 max_hamming=3)
+    """Perceptual near-duplicate fingerprint pairs (Hamming<=3 on phash64)
+    with pair multiplicities.
+
+    phash is a duplicate-HEAVY column, so the all-id-pairs expansion is
+    quadratic in dup-group size (6e9 rows at sf0.1) — the scale-honest
+    output is pairs between DISTINCT fingerprints carrying
+    n_pairs = n_a * n_b: first an exact (phash, count) aggregation
+    through the bucketed exchange, then the pigeonhole Hamming operator
+    over the distinct fingerprints (near-uniform -> bounded groups), then
+    counts re-attached by hash join."""
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    from katydid_haskell_ray.stages.join import hash_join
+
+    ds = ray.data.read_parquet(images_parquet(sf_dir), columns=["phash"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (b.to_pandas().groupby("phash", as_index=False)
+              .size().rename(columns={"size": "n"}))
+        bk = (df["phash"].to_numpy().view(np.uint64)
+              % np.uint64(64)).astype(np.int32)
+        return pa.Table.from_pandas(df.assign(__bucket=bk),
+                                    preserve_index=False)
+
+    fps = bucket_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda g: g.groupby("phash", as_index=False)["n"].sum(),
+        n_buckets=64).materialize()
+
+    with_fp = fps.map_batches(
+        lambda t: t.select(["phash"]).append_column("fp", t.column("phash")),
+        batch_format="pyarrow")
+    pairs = DD.hamming_near_pairs(with_fp, id_col="phash", fp_col="fp",
+                                  max_hamming=3)
+    pa_side = pairs.map_batches(
+        lambda t: pa.table({"phash": t.column("a"), "phash_b": t.column("b"),
+                            "hamming": t.column("hamming")}),
+        batch_format="pyarrow")
+    j1 = hash_join(pa_side, fps, key="phash",
+                   left_cols=["phash_b", "hamming"], right_cols=["n"])
+    j1 = j1.map_batches(
+        lambda t: pa.table({"phash_a": t.column("phash"),
+                            "phash": t.column("phash_b"),
+                            "hamming": t.column("hamming"),
+                            "n_a": t.column("n")}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, fps, key="phash",
+                   left_cols=["phash_a", "hamming", "n_a"], right_cols=["n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_pairs = (t.column("n_a").to_numpy(zero_copy_only=False)
+                   * t.column("n").to_numpy(zero_copy_only=False))
+        return pa.table({"phash_a": t.column("phash_a"),
+                         "phash_b": t.column("phash"),
+                         "hamming": t.column("hamming"),
+                         "n_pairs": pa.array(n_pairs.astype(np.int64))})
+
+    return j2.map_batches(finish, batch_format="pyarrow")
 
 
 def images_verdicts(sf_dir: str):

@@ -24,16 +24,17 @@ import ray
 from katydid_haskell_ray.state import sketches as SK
 
 
-def hash_join(left, right, *, key: str, left_cols: list[str],
+def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
               right_cols: list[str], n_buckets: int = 64,
               how: str = "inner"):
-    """Partitioned hash join of two Datasets on ``key``.
+    """Partitioned hash join of two Datasets on ``key`` (a column name or
+    a list of columns — composite keys hash as a tuple).
 
-    Returns a Dataset with columns ``left_cols + right_cols`` (key included
-    once).  Rows are matched exactly (pandas merge semantics per bucket).
-    ``how="left_anti"`` keeps left rows with NO match on the right and
-    returns only the left columns — the distributed anti-join used by the
-    dedup kept-set computation.
+    Returns a Dataset with columns ``left_cols + right_cols`` (key columns
+    included once).  Rows are matched exactly (pandas merge semantics per
+    bucket).  ``how="left_anti"`` keeps left rows with NO match on the
+    right and returns only the left columns — the distributed anti-join
+    used by the dedup kept-set computation.
 
     Shuffle shape: each side is projected to its join columns, tagged with
     a coarse key-hash bucket, and cogrouped through the raw-task exchange
@@ -45,16 +46,22 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     """
     from katydid_haskell_ray.stages.exchange import bucket_cogroup
 
-    lcols = [key] + [c for c in left_cols if c != key]
-    rcols = [key] + [c for c in right_cols if c != key]
-    clash = (set(lcols) & set(rcols)) - {key}
+    keys = [key] if isinstance(key, str) else list(key)
+    lcols = keys + [c for c in left_cols if c not in keys]
+    rcols = keys + [c for c in right_cols if c not in keys]
+    clash = (set(lcols) & set(rcols)) - set(keys)
     if clash:
         raise ValueError(f"join column name clash: {sorted(clash)}")
 
     def tag(cols: list[str]):
         def f(b: pa.Table) -> pa.Table:
             b = b.select(cols)
-            h = SK.hash64_array(b.column(key)) % np.uint64(n_buckets)
+            if len(keys) == 1:
+                h = SK.hash64_array(b.column(keys[0]))
+            else:
+                h = pd.util.hash_pandas_object(
+                    b.select(keys).to_pandas(), index=False).to_numpy()
+            h = h % np.uint64(n_buckets)
             return b.append_column("__bucket", pa.array(h.astype(np.int32)))
         return f
 
@@ -74,13 +81,17 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
                 return ldf.iloc[0:0]
             out = ldf.copy()  # left join: all unmatched
             for c in rcols:
-                if c != key:
+                if c not in keys:
                     out[c] = np.nan
             return out
         rdf = rdf[rcols]
         if how == "left_anti":
-            return ldf[~ldf[key].isin(rdf[key])]
-        return ldf.merge(rdf, on=key, how=how)
+            if len(keys) == 1:
+                return ldf[~ldf[keys[0]].isin(rdf[keys[0]])]
+            m = ldf.merge(rdf[keys].drop_duplicates(), on=keys,
+                          how="left", indicator=True)
+            return m[m["_merge"] == "left_only"].drop(columns="_merge")
+        return ldf.merge(rdf, on=keys, how=how)
 
     return bucket_cogroup(tagged_l, tagged_r, merge_bucket,
                           n_buckets=n_buckets)

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 def value_histogram(ds, col: str):
     """Dataset -> Dataset[(value, cnt)] exact histogram of an int column."""
-    from ray.data.aggregate import Sum
+    from katydid_haskell_ray.stages.exchange import bucketed_group_sum
 
     def partial(b: pa.Table) -> pa.Table:
         v = b.column(col).to_numpy(zero_copy_only=False)
@@ -32,13 +32,13 @@ def value_histogram(ds, col: str):
         return pa.table({"value": pa.array(vals.astype(np.int64)),
                          "cnt": pa.array(cnt.astype(np.int64))})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("value").aggregate(Sum("cnt", alias_name="cnt")))
+    return bucketed_group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                              ["value"])
 
 
 def grouped_value_histogram(ds, group_col: str, col: str):
     """Dataset -> Dataset[(group, value, cnt)] per-group exact histogram."""
-    from ray.data.aggregate import Sum
+    from katydid_haskell_ray.stages.exchange import bucketed_group_sum
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         out = (b.groupby([group_col, col], as_index=False)
@@ -47,9 +47,8 @@ def grouped_value_histogram(ds, group_col: str, col: str):
         out["cnt"] = out["cnt"].astype(np.int64)
         return out
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby([group_col, "value"])
-            .aggregate(Sum("cnt", alias_name="cnt")))
+    return bucketed_group_sum(ds.map_batches(partial, batch_format="pandas"),
+                              [group_col, "value"])
 
 
 def grouped_quantiles_from_histogram(hist, group_col: str,

@@ -34,8 +34,6 @@ def tumbling_aggregate(ds, *, width_s: int = 3600, keys=("event_type",),
 
     The window column is added in a vectorized map_batches; the groupby
     shuffles only (window, keys, value) projections."""
-    from ray.data.aggregate import Sum
-
     cols = ["ts", value_col, *keys]
     windowed = ds.select_columns(cols).map_batches(
         lambda b: add_tumbling_window(b, width_s=width_s),
@@ -48,10 +46,14 @@ def tumbling_aggregate(ds, *, width_s: int = 3600, keys=("event_type",),
                 .agg(n_events=(value_col, "size"),
                      sum_value=(value_col, "sum")))
 
-    return (windowed.map_batches(partial, batch_format="pandas")
-            .groupby(["window_start", *keys])
-            .aggregate(Sum("n_events", alias_name="n_events"),
-                       Sum("sum_value", alias_name="sum_value")))
+    return _bucketed_group_sum(windowed.map_batches(partial,
+                                                    batch_format="pandas"),
+                               ["window_start", *keys])
+
+
+def _bucketed_group_sum(partials, keys: list[str], n_buckets: int = 64):
+    from katydid_haskell_ray.stages.exchange import bucketed_group_sum
+    return bucketed_group_sum(partials, keys, n_buckets=n_buckets)
 
 
 def hopping_aggregate(ds, *, width_s: int = 3600, hop_s: int = 1800,
@@ -69,8 +71,6 @@ def hopping_aggregate(ds, *, width_s: int = 3600, hop_s: int = 1800,
 
     SQL-equivalent: CROSS JOIN a k-row offset table j, window_start =
     floor(epoch(ts)/hop)*hop - j*hop, GROUP BY."""
-    from ray.data.aggregate import Sum
-
     if width_s % hop_s:
         raise ValueError("width_s must be a multiple of hop_s")
     k = width_s // hop_s
@@ -89,11 +89,10 @@ def hopping_aggregate(ds, *, width_s: int = 3600, hop_s: int = 1800,
                 .agg(**{"n_events": (value_col, "size"),
                         sum_as: (value_col, "sum")}))
 
-    return (ds.select_columns([ts_col, value_col, *keys])
-            .map_batches(partial, batch_format="pandas")
-            .groupby(["window_start_s", *keys])
-            .aggregate(Sum("n_events", alias_name="n_events"),
-                       Sum(sum_as, alias_name=sum_as)))
+    return _bucketed_group_sum(
+        ds.select_columns([ts_col, value_col, *keys])
+        .map_batches(partial, batch_format="pandas"),
+        ["window_start_s", *keys])
 
 
 def rolling_sum(ds, *, key: str = "user_id", order_cols=("ts", "event_id"),

@@ -248,3 +248,25 @@ def test_parserspec_sweep():
     for src in _PS_FAIL:
         with pytest.raises(Exception):
             RP.parse(src)
+
+
+def test_relapsespec_mirror():
+    """RelapseSpec.hs cases: parse ok/fail, validate, filter, UDF filter."""
+    from katydid_haskell_ray import derive as D, trees as T
+    from katydid_haskell_ray.exprs.userlib import ensure_userlib
+
+    RP.parse("a == 1")                      # parseGrammar success
+    with pytest.raises(Exception):          # parseGrammar failure
+        RP.parse("{ a : 1 }")
+    g = RP.compile_relapse("a == 1")
+    m = D.MemDeriver(g)
+    assert m.validate(T.json_to_forest('{"a":1}'))       # validate success
+    assert not m.validate(T.json_to_forest('{"a":2}'))   # validate failure
+    forests = [T.json_to_forest('{"a":1}'), T.json_to_forest('{"a":2}')]
+    kept = [f for f in forests if m.validate(f)]         # filter
+    assert kept == [forests[0]]
+    ensure_userlib()                        # user defined function
+    g2 = RP.compile_relapse("a->isPrime($int)")
+    m2 = D.MemDeriver(g2)
+    assert m2.validate(T.json_to_forest('{"a":3}'))
+    assert not m2.validate(T.json_to_forest('{"a":4}'))

@@ -139,6 +139,17 @@ def lower_grammar(g: P.Grammar, schema: pa.Schema) -> dict[str, E.Expr]:
     main = g.main
     if main.kind == P.REF:
         main = g.lookup(main.name)
+    if main.kind == P.CONTAINS and main.pat.kind == P.NODE:
+        # Contains(Node(name-eq, leaf)) = ZAny·node·ZAny over the column
+        # sequence; every column appears exactly once in the row view, so
+        # the named column must match and the rest are free.  A Contains
+        # whose inner node is not a single name-eq field (e.g. any-name)
+        # would need an OR across columns: tree path.
+        name, leafpat, _ = _unwrap_field(main.pat)
+        coltypes = {f.name: E.arrow_type_to_vtype(f.type) for f in schema}
+        if name not in coltypes or coltypes[name] is None:
+            raise NotLowerable(f"unknown/unmappable column {name}")
+        return {name: _lower_leaf(leafpat, name, coltypes[name])}
     if main.kind in (P.ILEAVE,):
         parts = list(main.pats)
     elif main.kind == P.CONCAT:

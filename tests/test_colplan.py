@@ -159,3 +159,14 @@ def test_concat_order_matches_schema():
     # reversed order is NOT schema order: falls back, still agrees
     doc2 = {"main": {"concat": [FIELD_CAP, FIELD_FMT, FIELD_W]}}
     check(doc2, expect_lowered=False)
+
+
+def test_contains_field_lowered():
+    # .w:>=1  — Contains(Node): the named column must match, rest free
+    check({"main": {"contains": FIELD_W}}, expect_lowered=True)
+    # optional-wrapped / unknown column / non-node inner: tree path
+    check({"main": {"contains": {"optional": FIELD_W}}}, expect_lowered=False)
+    check({"main": {"contains": {"field": "nope", "child": "zany"}}},
+          expect_lowered=False)
+    check({"main": {"contains": {"concat": [FIELD_W, FIELD_FMT]}}},
+          expect_lowered=False)

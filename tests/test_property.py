@@ -136,10 +136,16 @@ def leaf_for(col):
 
 
 def flat_grammars():
-    def build(leaves):
+    def build(leaves, opts, shape):
         fields = [{"field": c, "child": lf} for c, lf in zip(_COLS, leaves)]
+        fields = [({"optional": f} if o else f)
+                  for f, o in zip(fields, opts)]
+        if shape == "contains":
+            return {"main": {"contains": fields[0]}}
         return {"main": {"interleave": fields + [{"star": "zany"}]}}
-    return st.builds(build, st.tuples(*[leaf_for(c) for c in _COLS]))
+    return st.builds(build, st.tuples(*[leaf_for(c) for c in _COLS]),
+                     st.tuples(*[st.booleans() for _ in _COLS]),
+                     st.sampled_from(["interleave", "contains"]))
 
 
 @settings(max_examples=120, deadline=None)

@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": Q.cosine_pairs,
         # additional relational coverage
         "docs_by_lang": Q.docs_by_lang,
+        "docs_rollup": Q.docs_rollup,
         "docs_top_tokens": Q.docs_top_tokens,
         "supplier_nation_rollup": Q.supplier_nation_rollup,
         "top_orders_per_segment": Q.top_orders_per_segment,
@@ -350,6 +351,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY 1, 2) g
               ON l.l_orderkey = g.l_orderkey
              AND l.l_returnflag = g.l_returnflag
+        """,
+        "docs_rollup": """
+            SELECT lang, source,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "users_per_type": """
             SELECT event_type,

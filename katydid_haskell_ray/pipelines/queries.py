@@ -214,6 +214,23 @@ def events_sessions(sf_dir: str):
                        "n_events": np.int64})
 
 
+def docs_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): the finest grain aggregates through
+    the exchange ONCE; coarser levels derive from that tiny result — a
+    rollup never needs a second pass over the data."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = grouped_sum(ds, ["lang", "source"], {"sum_chars": "n_chars"},
+                       count_as="n_docs").to_pandas()
+    by_lang = (fine.groupby("lang", as_index=False)[["sum_chars", "n_docs"]]
+               .sum().assign(source=None))
+    total = pd.DataFrame([{"lang": None, "source": None,
+                           "sum_chars": fine["sum_chars"].sum(),
+                           "n_docs": fine["n_docs"].sum()}])
+    out = pd.concat([fine, by_lang, total], ignore_index=True)
+    return out[["lang", "source", "sum_chars", "n_docs"]].astype(
+        {"sum_chars": np.int64, "n_docs": np.int64})
+
+
 def lineitem_group_share(sf_dir: str):
     """Composite-key partitioned self-join: every line item joined back to
     its (order, returnflag) group revenue — the windowed-ratio pattern,

@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis + dedup
         "doc_token_stats": Q.doc_token_stats,
         "doc_len_quantiles": Q.doc_len_quantiles,
+        "doc_len_quantiles_cont": Q.doc_len_quantiles_cont,
+        "events_window_users": Q.events_window_users,
         "lang_len_quantiles": Q.lang_len_quantiles,
         "events_rolling": Q.events_rolling,
         "embed_dedupe": Q.embed_dedupe,
@@ -357,6 +359,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "doc_len_quantiles_cont": r"""
+            WITH tok AS (
+                SELECT CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT CAST(25 AS BIGINT) AS q_pct,
+                   quantile_cont(n_tokens, 0.25) AS n_tokens FROM tok
+            UNION ALL SELECT 50, quantile_cont(n_tokens, 0.5) FROM tok
+            UNION ALL SELECT 90, quantile_cont(n_tokens, 0.9) FROM tok
+            UNION ALL SELECT 99, quantile_cont(n_tokens, 0.99) FROM tok
+        """,
+        "events_window_users": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "users_per_type": """
             SELECT event_type,

@@ -403,6 +403,38 @@ def embed_dedupe(sf_dir: str):
     return kept.to_pandas().astype(np.int64)
 
 
+def doc_len_quantiles_cont(sf_dir: str):
+    """Interpolated quantiles (quantile_cont parity) from the same exact
+    value histogram as doc_len_quantiles."""
+    from katydid_haskell_ray.stages import quantiles as QT
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_tokens": TX.token_count(b["text"].fillna(""))})
+
+    hist = QT.value_histogram(ds.map_batches(tok, batch_format="pandas"),
+                              "n_tokens")
+    return QT.quantiles_cont_from_histogram(
+        hist, {25: 0.25, 50: 0.5, 90: 0.9, 99: 0.99}, value_name="n_tokens")
+
+
+def events_window_users(sf_dir: str):
+    """Distinct users per tumbling hour window — windowing composed with
+    the grouped distinct-count exchange."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = W.add_tumbling_window(b, width_s=3600)
+        start_s = (b.column("window_start").cast(pa.int64())
+                   .to_numpy(zero_copy_only=False) // 1_000_000)
+        return pa.table({"window_start_s": pa.array(start_s),
+                         "user_id": b.column("user_id")})
+
+    return K.grouped_distinct_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "window_start_s", "user_id", out="n_users")
+
+
 def sampled_docs(sf_dir: str):
     """Deterministic hash sample (Knuth multiplicative hash mod 100 < 10):
     reproducible row sampling — the same rows survive on any cluster size

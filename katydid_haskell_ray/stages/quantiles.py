@@ -65,6 +65,32 @@ def grouped_quantiles_from_histogram(hist, group_col: str,
     return pd.concat(outs, ignore_index=True)
 
 
+def quantiles_cont_from_histogram(hist, qs: dict[int, float],
+                                  value_name: str = "value") -> pd.DataFrame:
+    """Interpolated quantiles (DuckDB ``quantile_cont`` parity: position
+    q*(N-1), linear interpolation lo*(1-f) + hi*f in IEEE double) from the
+    exact value histogram."""
+    if not isinstance(hist, pd.DataFrame):
+        hist = hist.to_pandas()
+    hist = hist.sort_values("value").reset_index(drop=True)
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["value"].to_numpy()
+
+    def elem(i: int) -> float:
+        # i-th (0-based) element of the expanded sorted multiset
+        return float(vals[np.searchsorted(cum, i + 1, side="left")])
+
+    rows = []
+    for pct, q in qs.items():
+        pos = np.float64(q) * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        f = float(pos - lo)
+        v = elem(lo) * (1 - f) + elem(hi) * f
+        rows.append({"q_pct": np.int64(pct), value_name: v})
+    return pd.DataFrame(rows)
+
+
 def quantiles_from_histogram(hist, qs: dict[int, float],
                              value_name: str = "value") -> pd.DataFrame:
     """Histogram Dataset/frame -> one row per requested quantile.

@@ -442,3 +442,23 @@ def test_grouped_topk(ray_session):
             .sort_values(["g", "v"], ascending=[True, False])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quantiles_cont_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from katydid_haskell_ray.stages import quantiles as QT
+    rng = np.random.default_rng(13)
+    for n in (1, 2, 41, 4000):
+        vals = rng.integers(0, 35, n).astype(np.int64)
+        hist = QT.value_histogram(
+            ray.data.from_arrow(pa.table({"v": pa.array(vals)})), "v")
+        got = QT.quantiles_cont_from_histogram(
+            hist, {25: 0.25, 50: 0.5, 90: 0.9}, value_name="v")
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": vals}))
+        for _, r in got.iterrows():
+            q = {25: 0.25, 50: 0.5, 90: 0.9}[r["q_pct"]]
+            want = con.execute(
+                f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+            assert r["v"] == want, (n, q, r["v"], want)

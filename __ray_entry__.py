@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additional relational coverage
         "docs_by_lang": Q.docs_by_lang,
         "docs_rollup": Q.docs_rollup,
+        "docs_tokens_unnest": Q.docs_tokens_unnest,
+        "docs_normalized": Q.docs_normalized,
+        "longest_doc_per_lang": Q.longest_doc_per_lang,
         "docs_top_tokens": Q.docs_top_tokens,
         "supplier_nation_rollup": Q.supplier_nation_rollup,
         "top_orders_per_segment": Q.top_orders_per_segment,
@@ -376,6 +379,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        "docs_tokens_unnest": r"""
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\s+'),
+                x -> x <> '')) AS token
+            FROM documents
+        """,
+        "docs_normalized": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "longest_doc_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents) WHERE rn = 1
         """,
         "users_per_type": """
             SELECT event_type,

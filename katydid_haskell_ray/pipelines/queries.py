@@ -214,6 +214,49 @@ def events_sessions(sf_dir: str):
                        "n_events": np.int64})
 
 
+def docs_tokens_unnest(sf_dir: str):
+    """First-class unnest/explode: (doc_id, token) rows via list flatten +
+    vectorized repeat of the parent key by list length."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.coalesce(b.column("text"), pa.scalar("")))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False),
+                        lens)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"doc_id": pa.array(ids),
+                         "token": flat}).filter(keep)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def docs_normalized(sf_dir: str):
+    """String-normalization pipeline: lowercase, strip non-alphanumerics,
+    collapse whitespace — vectorized pandas str kernels, regexp oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        t = (b["text"].fillna("").str.lower()
+             .str.replace(r"[^a-z0-9\s]", " ", regex=True)
+             .str.replace(r"\s+", " ", regex=True).str.strip())
+        return pd.DataFrame({"doc_id": b["doc_id"], "norm_text": t})
+
+    return ds.map_batches(norm, batch_format="pandas")
+
+
+def longest_doc_per_lang(sf_dir: str):
+    """Arg-max per group (the max_by / QUALIFY rn=1 pattern) via the
+    grouped top-k combiner with k=1."""
+    from katydid_haskell_ray.stages.topk import grouped_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = grouped_topk(ds, group_cols=["lang"], k=1,
+                       by=["n_chars", "doc_id"], ascending=[False, True])
+    return out.select_columns(["lang", "doc_id", "n_chars"])
+
+
 def docs_rollup(sf_dir: str):
     """GROUP BY ROLLUP(lang, source): the finest grain aggregates through
     the exchange ONCE; coarser levels derive from that tiny result — a

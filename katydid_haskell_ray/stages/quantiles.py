@@ -72,6 +72,8 @@ def quantiles_cont_from_histogram(hist, qs: dict[int, float],
     exact value histogram."""
     if not isinstance(hist, pd.DataFrame):
         hist = hist.to_pandas()
+    if hist.empty:  # a globally-empty input yields a schemaless frame
+        hist = pd.DataFrame({"value": [], "cnt": []})
     hist = hist.sort_values("value").reset_index(drop=True)
     cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
     n = int(cum[-1]) if len(cum) else 0
@@ -83,6 +85,9 @@ def quantiles_cont_from_histogram(hist, qs: dict[int, float],
 
     rows = []
     for pct, q in qs.items():
+        if n == 0:
+            rows.append({"q_pct": np.int64(pct), value_name: None})
+            continue
         pos = np.float64(q) * (n - 1)
         lo, hi = int(np.floor(pos)), int(np.ceil(pos))
         f = float(pos - lo)
@@ -100,12 +105,17 @@ def quantiles_from_histogram(hist, qs: dict[int, float],
     by construction — materializing it on the driver is the point."""
     if not isinstance(hist, pd.DataFrame):
         hist = hist.to_pandas()
+    if hist.empty:  # a globally-empty input yields a schemaless frame
+        hist = pd.DataFrame({"value": [], "cnt": []})
     hist = hist.sort_values("value").reset_index(drop=True)
     cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
     n = int(cum[-1]) if len(cum) else 0
     vals = hist["value"].to_numpy()
     rows = []
     for pct, q in qs.items():
+        if n == 0:  # duckdb: quantile over zero rows is NULL
+            rows.append({"q_pct": np.int64(pct), value_name: None})
+            continue
         # duckdb quantile_disc parity: double q*N, ceil, clamp at 0
         idx = max(int(math.ceil(np.float64(q) * n)) - 1, 0)
         pos = int(np.searchsorted(cum, idx + 1, side="left"))

@@ -462,3 +462,31 @@ def test_quantiles_cont_match_duckdb(ray_session):
             want = con.execute(
                 f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
             assert r["v"] == want, (n, q, r["v"], want)
+
+
+def test_new_ops_empty_inputs(ray_session):
+    import ray.data
+    from katydid_haskell_ray.stages import quantiles as QT
+    from katydid_haskell_ray.stages.join import range_lookup
+    from katydid_haskell_ray.stages.topk import grouped_topk
+    empty = ray.data.from_arrow(pa.table({
+        "v": pa.array([], type=pa.int64()),
+        "g": pa.array([], type=pa.string())}))
+    # quantiles over zero rows: NULL values like SQL
+    q = QT.quantiles_from_histogram(QT.value_histogram(empty, "v"), {50: 0.5})
+    assert len(q) == 1 and q["value"].isna().all()
+    qc = QT.quantiles_cont_from_histogram(
+        QT.value_histogram(empty, "v"), {50: 0.5})
+    assert qc["value"].isna().all()
+    # range lookup and grouped topk over zero rows: zero rows out
+    fempty = ray.data.from_arrow(pa.table({"x": pa.array([], type=pa.float64())}))
+    assert range_lookup(fempty, value_col="x", lower=np.array([0.0]),
+                        upper=np.array([1.0]),
+                        labels=np.array(["a"])).count() == 0
+    assert grouped_topk(empty, group_cols=["g"], k=2, by=["v"],
+                        ascending=[True]).count() == 0
+    # hamming pairs over zero rows
+    fp = ray.data.from_arrow(pa.table({
+        "id": pa.array([], type=pa.string()),
+        "fp": pa.array([], type=pa.int64())}))
+    assert DD.hamming_near_pairs(fp, id_col="id", fp_col="fp").count() == 0

@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": Q.knn_lsh,                           # rows-only
         "knn_ivf": Q.knn_ivf,                           # rows-only
         "cosine_pairs": Q.cosine_pairs,
+        "knn_join_docs": Q.knn_join_docs,
         # additional relational coverage
         "docs_by_lang": Q.docs_by_lang,
         "docs_rollup": Q.docs_rollup,
@@ -398,6 +399,17 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY lang
                            ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM documents) WHERE rn = 1
+        """,
+        "knn_join_docs": """
+            SELECT vec_id, neighbor, rank FROM (
+                SELECT a.vec_id, b.vec_id AS neighbor,
+                       CAST(row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               a.embedding, b.embedding), 6) DESC,
+                           b.vec_id ASC) AS BIGINT) AS rank
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id)
+            WHERE rank <= 3
         """,
         "users_per_type": """
             SELECT event_type,

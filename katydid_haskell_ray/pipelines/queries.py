@@ -600,6 +600,14 @@ def knn_ivf(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 
+def knn_join_docs(sf_dir: str):
+    """Exact k-NN join over the embeddings table: each vector's top-3
+    cosine neighbors (stages/similarity.py:knn_join), rank-oracle-checked
+    against a DuckDB window-function self-join."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return SIM.knn_join(ds, k=3)
+
+
 def cosine_pairs(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = SIM.cosine_near_pairs(ds, threshold=0.40)

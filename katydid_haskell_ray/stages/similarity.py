@@ -322,3 +322,74 @@ def cosine_near_pairs(ds, *, threshold: float = 0.95, col: str = "embedding",
         concurrency=_sim_concurrency(concurrency),
         fn_constructor_args=()).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def knn_join(ds, *, k: int = 3, col: str = "embedding",
+             id_col: str = "vec_id", concurrency: int | None = None):
+    """Exact k-NN JOIN: every vector's top-k cosine neighbors (self
+    excluded), ranked by (round(sim, 6) DESC, neighbor id ASC).
+
+    Same object-store self-join shape as :func:`cosine_near_pairs` — the
+    normalized blocks materialize once, each scorer streams its query
+    batches against one shared chunk at a time keeping k candidates per
+    chunk, and the final per-row rank merges chunks*k candidates.  Scoring
+    is float64 so the 6-decimal rank quantization agrees with a float64
+    oracle.  Exact all-pairs is inherently O(N²/cluster); at web scale
+    restrict candidates first (IVF/LSH) and accept approximate recall."""
+    def pack(b: pa.Table) -> pa.Table:
+        m = _normalize(_embed_matrix(b, col).astype(np.float64))
+        return pa.table({
+            "id": b.column(id_col).cast(pa.int64()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), type=pa.float64()), m.shape[1]),
+        })
+
+    packed = ds.select_columns([id_col, col]).map_batches(
+        pack, batch_format="pyarrow").materialize()
+    chunk_refs = packed.to_arrow_refs()
+
+    class Scorer:
+        def __init__(self):
+            self.chunks = []
+            for r in chunk_refs:
+                t = ray.get(r)
+                if len(t) == 0:
+                    continue
+                vec = t.column("vec")
+                if isinstance(vec, pa.ChunkedArray):
+                    vec = vec.combine_chunks()
+                mat = (vec.flatten().to_numpy(zero_copy_only=False)
+                       .reshape(len(t), -1))
+                ids = t.column("id").to_numpy(zero_copy_only=False)
+                self.chunks.append((ids, mat))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = _embed_matrix(batch, "vec").astype(np.float64)
+            qids = batch.column("id").to_numpy(zero_copy_only=False)
+            nq = len(qids)
+            cand_s, cand_i = [], []
+            for ids, mat in self.chunks:
+                sims = np.round(q @ mat.T, 6)
+                sims[qids[:, None] == ids[None, :]] = -np.inf  # no self
+                kk = min(k, sims.shape[1])
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                cand_s.append(np.take_along_axis(sims, part, axis=1))
+                cand_i.append(ids[part])
+            s = np.concatenate(cand_s, axis=1)
+            i = np.concatenate(cand_i, axis=1)
+            nc = s.shape[1]
+            rows = np.repeat(np.arange(nq), nc)
+            # per row: order by (-sim, neighbor id); first kk are the top-k
+            order = np.lexsort((i.ravel(), -s.ravel(), rows))
+            kk = min(k, nc)
+            top = order.reshape(nq, nc)[:, :kk].ravel()
+            keep = ~np.isinf(s.ravel()[top])  # drop self/pad entries
+            return pa.table({
+                id_col: pa.array(np.repeat(qids, kk)[keep], type=pa.int64()),
+                "neighbor": pa.array(i.ravel()[top][keep], type=pa.int64()),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1), nq)[keep],
+                                 type=pa.int64())})
+
+    return packed.map_batches(
+        Scorer, batch_format="pyarrow",
+        concurrency=_sim_concurrency(concurrency), fn_constructor_args=())

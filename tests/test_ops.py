@@ -490,3 +490,21 @@ def test_new_ops_empty_inputs(ray_session):
         "id": pa.array([], type=pa.string()),
         "fp": pa.array([], type=pa.int64())}))
     assert DD.hamming_near_pairs(fp, id_col="id", fp_col="fp").count() == 0
+
+
+def test_knn_join_matches_bruteforce(ray_session, sf_dir):
+    import os
+    import ray.data
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    got = (SIM.knn_join(ds, k=2, concurrency=2).to_pandas()
+           .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    tab = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    m = np.stack(tab["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ids = tab["vec_id"].to_numpy()
+    sims = np.round(m @ m.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    for qi in range(min(20, len(ids))):
+        order = np.lexsort((ids, -sims[qi]))[:2]
+        sub = got[got["vec_id"] == ids[qi]].sort_values("rank")
+        assert list(sub["neighbor"]) == list(ids[order]), ids[qi]

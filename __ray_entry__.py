@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": Q.knn_ivf,                           # rows-only
         "cosine_pairs": Q.cosine_pairs,
         "knn_join_docs": Q.knn_join_docs,
+        "knn_join_ivf_docs": Q.knn_join_ivf_docs,  # rows-only (approximate)
         # additional relational coverage
         "docs_by_lang": Q.docs_by_lang,
         "docs_rollup": Q.docs_rollup,

@@ -608,6 +608,13 @@ def knn_join_docs(sf_dir: str):
     return SIM.knn_join(ds, k=3)
 
 
+def knn_join_ivf_docs(sf_dir: str):
+    """IVF-bucketed approximate k-NN join (no oracle — recall vs the exact
+    join measured in tests; the scale path for knn_join_docs)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return SIM.knn_join_ivf(ds, k=3, n_centroids=16, nprobe=6)
+
+
 def cosine_pairs(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = SIM.cosine_near_pairs(ds, threshold=0.40)

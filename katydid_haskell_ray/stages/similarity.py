@@ -393,3 +393,87 @@ def knn_join(ds, *, k: int = 3, col: str = "embedding",
     return packed.map_batches(
         Scorer, batch_format="pyarrow",
         concurrency=_sim_concurrency(concurrency), fn_constructor_args=())
+
+
+def knn_join_ivf(ds, *, k: int = 3, n_centroids: int = 64, nprobe: int = 4,
+                 col: str = "embedding", id_col: str = "vec_id",
+                 n_buckets: int = 64):
+    """Approximate k-NN JOIN via IVF bucketing — the scale path for
+    :func:`knn_join`'s O(N²) exact compute.
+
+    Every vector plays two roles: DATA in its single nearest-centroid
+    bucket, QUERY in its ``nprobe`` nearest buckets.  One bucketed
+    exchange colocates each centroid's data and probing queries; the
+    per-bucket matmul scores only that cell, and a second tiny exchange
+    merges each query's nprobe x k candidates into the final ranks.
+    Compute drops from O(N²) to O(N² · nprobe / C); recall depends on the
+    quantizer (measured vs the exact join in tests)."""
+    import pandas as pd
+
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+
+    centroids = train_centroids(ds, n_centroids=n_centroids, col=col,
+                                id_col=id_col)
+    cent_ref = ray.put(centroids)
+    np_eff = min(nprobe, centroids.shape[0])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_embed_matrix(batch, col).astype(np.float64))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = m @ cent.T.astype(np.float64)
+        probe = np.argsort(-sims, axis=1)[:, :np_eff]  # probe[:,0] = own cell
+        n, d = m.shape
+        rows = {
+            id_col: np.tile(ids, np_eff),
+            "__bucket": probe.T.ravel().astype(np.int32),
+            "role": np.repeat(np.arange(np_eff, dtype=np.int8) != 0,
+                              n).astype(np.int8),  # 0=data+query, 1=query
+        }
+        vec = np.tile(m, (np_eff, 1))
+        t = pa.table({**{kk: pa.array(v) for kk, v in rows.items()},
+                      "vec": pa.FixedSizeListArray.from_arrays(
+                          pa.array(vec.ravel(), type=pa.float64()), d)})
+        return t
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({id_col: [], "neighbor": [], "sim": []})
+        ids = g[id_col].to_numpy()
+        m = np.stack(g["vec"].to_numpy()).astype(np.float64)
+        data_mask = g["role"].to_numpy() == 0
+        dm, dids = m[data_mask], ids[data_mask]
+        if not len(dm):
+            return pd.DataFrame({id_col: [], "neighbor": [], "sim": []})
+        sims = np.round(m @ dm.T, 6)
+        sims[ids[:, None] == dids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        s = np.take_along_axis(sims, part, axis=1).ravel()
+        out = pd.DataFrame({id_col: np.repeat(ids, kk),
+                            "neighbor": dids[part].ravel(), "sim": s})
+        return out[np.isfinite(out["sim"])]
+
+    cand = bucket_map_groups(
+        ds.select_columns([id_col, col]).map_batches(
+            tag, batch_format="pyarrow"),
+        per_cell, n_buckets=max(n_buckets, n_centroids))
+
+    def qbucket(t: pa.Table) -> pa.Table:
+        h = (t.column(id_col).to_numpy(zero_copy_only=False)
+             % n_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(h))
+
+    def merge_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns="__bucket")
+             .drop_duplicates([id_col, "neighbor"])
+             .sort_values([id_col, "sim", "neighbor"],
+                          ascending=[True, False, True]))
+        out = g.groupby(id_col, sort=False).head(k).copy()
+        out["rank"] = (out.groupby(id_col, sort=False).cumcount() + 1
+                       ).astype(np.int64)
+        return out[[id_col, "neighbor", "rank"]]
+
+    return bucket_map_groups(cand.map_batches(qbucket,
+                                              batch_format="pyarrow"),
+                             merge_query, n_buckets=n_buckets)

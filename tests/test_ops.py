@@ -508,3 +508,18 @@ def test_knn_join_matches_bruteforce(ray_session, sf_dir):
         order = np.lexsort((ids, -sims[qi]))[:2]
         sub = got[got["vec_id"] == ids[qi]].sort_values("rank")
         assert list(sub["neighbor"]) == list(ids[order]), ids[qi]
+
+
+def test_knn_join_ivf_recall(ray_session, sf_dir):
+    import os
+    import ray.data
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = SIM.knn_join(ds, k=2, concurrency=2).to_pandas()
+    approx = SIM.knn_join_ivf(ds, k=2, n_centroids=16, nprobe=6).to_pandas()
+    eset = set(zip(exact["vec_id"], exact["neighbor"]))
+    aset = set(zip(approx["vec_id"], approx["neighbor"]))
+    recall = len(eset & aset) / len(eset)
+    assert recall >= 0.5, recall
+    # every vector gets neighbors, ranks are 1..k
+    assert set(approx["rank"]) == {1, 2}
+    assert approx.groupby("vec_id").size().max() <= 2

@@ -79,7 +79,10 @@ def run_bench() -> dict:
         "q1_lineitem_agg", "q3_join_revenue", "events_windowed",
         "events_sessions", "doc_token_stats", "exact_dedupe_docs",
         "minhash_dedupe_docs", "knn_brute", "images_verdicts",
-        "images_uniqueness", "order_priority_revenue", "events_asof_order")
+        "images_uniqueness", "order_priority_revenue", "events_asof_order",
+        # round-2 operators
+        "events_hopping", "events_rolling", "user_event_pivot",
+        "doc_len_quantiles", "lineitem_group_share", "knn_join_docs")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

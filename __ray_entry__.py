@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_neardups": Q.images_phash_neardups,
         "images_verdicts": Q.images_verdicts,
         "images_grammar_verdicts": Q.images_grammar_verdicts,
+        "images_caption_grammar": Q.images_caption_grammar,
         "images_check_failures": Q.images_check_failures,
         "images_caption_ref": Q.images_caption_ref,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
@@ -585,6 +586,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "images_verdicts": f"""
             SELECT image_id, ({pass_expr}) AS pass FROM {_IMAGES}
+        """,
+        "images_caption_grammar": f"""
+            SELECT image_id,
+                   COALESCE(regexp_matches(caption, '^[a-z ]+$'), FALSE) AS pass
+            FROM {_IMAGES}
         """,
         "images_check_failures": fail_counts,
         "images_caption_ref": _caption_ref_sql(),

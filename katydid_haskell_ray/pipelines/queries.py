@@ -727,6 +727,24 @@ def images_phash_neardups(sf_dir: str):
     return j2.map_batches(finish, batch_format="pyarrow")
 
 
+def images_caption_grammar(sf_dir: str):
+    """Concrete Relapse syntax -> compile -> COLUMN-PLAN lowering over the
+    images table: caption must be short lowercase words (unanchored regex
+    per the reference's =~ semantics), the star absorbs every other
+    column.  Exercises parser + colplan + vectorized regex end-to-end."""
+    from katydid_haskell_ray.relapse_parser import compile_relapse
+    from katydid_haskell_ray.colplan import validate_batch
+
+    g = compile_relapse('{caption: ~= "^[a-z ]+$"; (*)*}')
+    ds = ray.data.read_parquet(images_parquet(sf_dir))
+
+    def verdict(b: pa.Table) -> pa.Table:
+        return pa.table({"image_id": b.column("image_id"),
+                         "pass": pa.array(validate_batch(g, b))})
+
+    return ds.map_batches(verdict, batch_format="pyarrow")
+
+
 def images_verdicts(sf_dir: str):
     """Per-row flat-constraint verdict — the per-row pass/fail parity check
     (decode checks are separate: not SQL-expressible)."""

@@ -70,7 +70,7 @@ def grouped_sum(ds, keys: list[str], sums: dict[str, str],
         if count_as:
             any_col = keys[0]
             agg[count_as] = (any_col, "size")
-        return b.groupby(list(keys), as_index=False).agg(**agg)
+        return b.groupby(list(keys), as_index=False, dropna=False).agg(**agg)
 
     from katydid_haskell_ray.stages.exchange import bucketed_group_sum
     return bucketed_group_sum(ds.map_batches(partial, batch_format="pandas"),
@@ -289,8 +289,10 @@ def lineitem_group_share(sf_dir: str):
             "price_cents": pa.array(_cents(
                 b.column("l_extendedprice").to_numpy(zero_copy_only=False)))})
 
+    # li feeds BOTH the aggregate and the join left side: materialize so
+    # the parquet scan + prep lineage runs once, not once per consumer
     li = _read(sf_dir, "lineitem", cols).map_batches(
-        prep, batch_format="pyarrow")
+        prep, batch_format="pyarrow").materialize()
     grp = grouped_sum(
         li.map_batches(lambda t: t.drop_columns(["l_linenumber"]),
                        batch_format="pyarrow"),

@@ -105,7 +105,9 @@ def bucketed_group_sum(partials, keys: list[str], *, n_buckets: int = 64):
             (h % np.uint64(n_buckets)).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop(columns="__bucket").groupby(keys, as_index=False).sum()
+        # dropna=False: SQL GROUP BY keeps the NULL group
+        return (g.drop(columns="__bucket")
+                .groupby(keys, as_index=False, dropna=False).sum())
 
     return bucket_map_groups(partials.map_batches(add_bucket,
                                                   batch_format="pyarrow"),

@@ -150,8 +150,10 @@ def grouped_distinct_count(ds, group: str, key: str, n_buckets: int = 64,
         return t.append_column("__bucket", pa.array(h.astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False on the GROUP (SQL keeps the NULL group); nunique
+        # still ignores null KEY values, as COUNT(DISTINCT) does
         return (g.drop_duplicates([group, key])
-                .groupby(group, as_index=False)[key].nunique()
+                .groupby(group, as_index=False, dropna=False)[key].nunique()
                 .rename(columns={key: out}))
 
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
@@ -160,5 +162,5 @@ def grouped_distinct_count(ds, group: str, key: str, n_buckets: int = 64,
         .map_batches(partial, batch_format="pandas")
         .map_batches(add_bucket, batch_format="pyarrow"),
         per_bucket, n_buckets=n_buckets).to_pandas()
-    return (parts.groupby(group, as_index=False)[out].sum()
+    return (parts.groupby(group, as_index=False, dropna=False)[out].sum()
             .astype({out: np.int64}))

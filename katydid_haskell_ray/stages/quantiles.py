@@ -27,7 +27,12 @@ def value_histogram(ds, col: str):
     from katydid_haskell_ray.stages.exchange import bucketed_group_sum
 
     def partial(b: pa.Table) -> pa.Table:
-        v = b.column(col).to_numpy(zero_copy_only=False)
+        # NULLs are ignored, as SQL quantiles ignore them (a nullable int
+        # column round-trips through float64/NaN otherwise)
+        arr = b.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.drop_null().to_numpy(zero_copy_only=False)
         vals, cnt = np.unique(v, return_counts=True)
         return pa.table({"value": pa.array(vals.astype(np.int64)),
                          "cnt": pa.array(cnt.astype(np.int64))})
@@ -41,7 +46,8 @@ def grouped_value_histogram(ds, group_col: str, col: str):
     from katydid_haskell_ray.stages.exchange import bucketed_group_sum
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        out = (b.groupby([group_col, col], as_index=False)
+        b = b[b[col].notna()]  # SQL quantiles ignore NULL values
+        out = (b.groupby([group_col, col], as_index=False, dropna=False)
                .size().rename(columns={col: "value", "size": "cnt"}))
         out["value"] = out["value"].astype(np.int64)
         out["cnt"] = out["cnt"].astype(np.int64)
@@ -54,9 +60,14 @@ def grouped_value_histogram(ds, group_col: str, col: str):
 def grouped_quantiles_from_histogram(hist, group_col: str,
                                      qs: dict[int, float],
                                      value_name: str = "value") -> pd.DataFrame:
-    """Per-group quantile pick over the tiny merged grouped histogram."""
+    """Per-group quantile pick over the tiny merged grouped histogram.
+
+    A globally-empty input yields zero rows, like SQL GROUP BY."""
     if not isinstance(hist, pd.DataFrame):
         hist = hist.to_pandas()
+    if hist.empty or group_col not in hist.columns:
+        return pd.DataFrame({group_col: [], "q_pct": pd.Series([], dtype=np.int64),
+                             value_name: []})
     outs = []
     for gval, sub in hist.groupby(group_col, sort=True):
         q = quantiles_from_histogram(sub, qs, value_name=value_name)

@@ -361,10 +361,19 @@ def knn_join(ds, *, k: int = 3, col: str = "embedding",
                 mat = (vec.flatten().to_numpy(zero_copy_only=False)
                        .reshape(len(t), -1))
                 ids = t.column("id").to_numpy(zero_copy_only=False)
-                self.chunks.append((ids, mat))
+                # id-sorted chunk + STABLE sort below = exact
+                # (sim DESC, id ASC) tie-break inside each chunk
+                order = np.argsort(ids, kind="stable")
+                self.chunks.append((ids[order], mat[order]))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            q = _embed_matrix(batch, "vec").astype(np.float64)
+            # no float32 round-trip: the packed vecs are float64 and the
+            # rank quantization needs full precision (oracle parity)
+            vec = batch.column("vec")
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            q = (vec.flatten().to_numpy(zero_copy_only=False)
+                 .reshape(len(batch), -1))
             qids = batch.column("id").to_numpy(zero_copy_only=False)
             nq = len(qids)
             cand_s, cand_i = [], []
@@ -372,7 +381,7 @@ def knn_join(ds, *, k: int = 3, col: str = "embedding",
                 sims = np.round(q @ mat.T, 6)
                 sims[qids[:, None] == ids[None, :]] = -np.inf  # no self
                 kk = min(k, sims.shape[1])
-                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
                 cand_s.append(np.take_along_axis(sims, part, axis=1))
                 cand_i.append(ids[part])
             s = np.concatenate(cand_s, axis=1)
@@ -445,10 +454,12 @@ def knn_join_ivf(ds, *, k: int = 3, n_centroids: int = 64, nprobe: int = 4,
         dm, dids = m[data_mask], ids[data_mask]
         if not len(dm):
             return pd.DataFrame({id_col: [], "neighbor": [], "sim": []})
+        dorder = np.argsort(dids, kind="stable")  # (sim DESC, id ASC) ties
+        dm, dids = dm[dorder], dids[dorder]
         sims = np.round(m @ dm.T, 6)
         sims[ids[:, None] == dids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         s = np.take_along_axis(sims, part, axis=1).ravel()
         out = pd.DataFrame({id_col: np.repeat(ids, kk),
                             "neighbor": dids[part].ravel(), "sim": s})

@@ -42,7 +42,7 @@ def grouped_topk(ds, *, group_cols: list[str], k: int, by: list[str],
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
         return (b.sort_values(by, ascending=ascending, kind="mergesort")
-                .groupby(group_cols, sort=False).head(k))
+                .groupby(group_cols, sort=False, dropna=False).head(k))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
@@ -53,7 +53,7 @@ def grouped_topk(ds, *, group_cols: list[str], k: int, by: list[str],
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return (g.drop(columns="__bucket")
                 .sort_values(by, ascending=ascending, kind="mergesort")
-                .groupby(group_cols, sort=False).head(k))
+                .groupby(group_cols, sort=False, dropna=False).head(k))
 
     partials = ds.map_batches(local, batch_format="pandas").map_batches(
         add_bucket, batch_format="pyarrow")

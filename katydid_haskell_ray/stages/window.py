@@ -42,7 +42,8 @@ def tumbling_aggregate(ds, *, width_s: int = 3600, keys=("event_type",),
     # combiner before the shuffle: windows x keys is small, so per-batch
     # partials collapse the exchange to a few rows per block
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return (b.groupby(["window_start", *keys], as_index=False)
+        return (b.groupby(["window_start", *keys], as_index=False,
+                          dropna=False)
                 .agg(n_events=(value_col, "size"),
                      sum_value=(value_col, "sum")))
 
@@ -85,7 +86,8 @@ def hopping_aggregate(ds, *, width_s: int = 3600, hop_s: int = 1800,
         for key in keys:
             d[key] = np.repeat(b[key].to_numpy(), k)
         d[value_col] = np.repeat(b[value_col].to_numpy(), k)
-        return (d.groupby(["window_start_s", *keys], as_index=False)
+        return (d.groupby(["window_start_s", *keys], as_index=False,
+                          dropna=False)
                 .agg(**{"n_events": (value_col, "size"),
                         sum_as: (value_col, "sum")}))
 

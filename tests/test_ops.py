@@ -328,12 +328,28 @@ def test_exact_quantiles_match_duckdb(ray_session):
             assert r["v"] == want, (n, q)
 
 
-def test_hash_sample_partition_invariant(ray_session):
-    # the sample is a pure per-row predicate: repartitioning must not
-    # change the kept set
+def test_hash_sample_partition_invariant(ray_session, sf_dir):
+    # the sample is a pure per-row predicate: the kept set must equal the
+    # pandas-computed expectation and survive any repartitioning
+    import os
+    import ray.data
     from katydid_haskell_ray.pipelines import queries as Q
-    a = Q.sampled_docs("/root/testdata/sf0.001").to_pandas()
-    assert (a["doc_id"] * 2654435761 % 4294967296 % 100 < 10).all()
+    got = set(Q.sampled_docs(sf_dir).to_pandas()["doc_id"])
+    ref = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id"])["doc_id"].to_numpy()
+    want = set(ref[(ref * 2654435761) % 4294967296 % 100 < 10])
+    assert got == want and len(want) > 0
+    repart = (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+              .repartition(7))
+
+    def f(b):
+        import pyarrow as _pa
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(_pa.array((ids * 2654435761) % 4294967296 % 100 < 10))
+
+    got2 = set(repart.map_batches(f, batch_format="pyarrow")
+               .to_pandas()["doc_id"])
+    assert got2 == want
 
 
 def test_rolling_sum_matches_pandas(ray_session, sf_dir):

@@ -111,6 +111,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_ref": Q.images_caption_ref,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
         "images_features": Q.images_features,            # rows-only (codec)
+        # quality filtering / PII / image stats / set ops (round-2 cont.)
+        "doc_quality_gopher": Q.doc_quality_gopher,
+        "pii_scan_docs": Q.pii_scan_docs,
+        "images_resolution_hist": Q.images_resolution_hist,
+        "images_wh_corr": Q.images_wh_corr,
+        "caption_dup_xphash": Q.caption_dup_xphash,
+        "parts_semi_heavy": Q.parts_semi_heavy,
+        "png_only_captions": Q.png_only_captions,
+        "events_gap_quantiles": Q.events_gap_quantiles,
+        "lang_top_docs_concat": Q.lang_top_docs_concat,
     }
 
 
@@ -605,7 +615,138 @@ def oracle_sql() -> dict[str, str]:
                     AND COALESCE(phash <> 0, FALSE)) AS pass
             FROM {_IMAGES}
         """,
+        "doc_quality_gopher": r"""
+            WITH tok AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                           x -> x <> '') AS t
+                FROM documents),
+            m AS (
+                SELECT doc_id, len(t) AS n_tok,
+                       len(list_distinct(t)) AS n_dist,
+                       COALESCE(list_max(list_transform(list_distinct(t),
+                           x -> len(list_filter(t, y -> y = x)))), 0) AS top_n,
+                       greatest(len(t) - 1, 0) AS n_bg,
+                       CASE WHEN len(t) < 2 THEN 0
+                            ELSE len(list_distinct(list_transform(
+                                generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]))) END AS n_dist_bg
+                FROM tok),
+            r AS (
+                SELECT doc_id, n_tok,
+                       CASE WHEN n_tok = 0 THEN 0 ELSE CAST(floor(1e6 *
+                           (1 - CAST(n_dist AS DOUBLE) / n_tok)) AS BIGINT)
+                       END AS dup_token_ratio_micro,
+                       CASE WHEN n_tok = 0 THEN 0 ELSE CAST(floor(1e6 *
+                           (CAST(top_n AS DOUBLE) / n_tok)) AS BIGINT)
+                       END AS top_token_ratio_micro,
+                       CASE WHEN n_bg = 0 THEN 0 ELSE CAST(floor(1e6 *
+                           (1 - CAST(n_dist_bg AS DOUBLE) / n_bg)) AS BIGINT)
+                       END AS dup_bigram_ratio_micro
+                FROM m)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                   dup_token_ratio_micro, top_token_ratio_micro,
+                   dup_bigram_ratio_micro,
+                   (n_tok >= 5 AND dup_bigram_ratio_micro < 60000
+                    AND top_token_ratio_micro < 140000
+                    AND dup_token_ratio_micro < 680000) AS quality_pass
+            FROM r
+        """,
+        "pii_scan_docs": _pii_scan_sql(),
+        "images_resolution_hist": f"""
+            SELECT fmt,
+                   CAST((CAST(w AS BIGINT) * h) // 262144 AS BIGINT) AS px_bucket,
+                   CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_px,
+                   COUNT(*) AS n_images
+            FROM {_IMAGES} WHERE w IS NOT NULL AND h IS NOT NULL
+            GROUP BY fmt, px_bucket
+        """,
+        "images_wh_corr": f"""
+            WITH s AS (
+                SELECT fmt, COUNT(*) AS n,
+                       SUM(CAST(w AS BIGINT)) AS sum_w,
+                       SUM(CAST(h AS BIGINT)) AS sum_h,
+                       SUM(CAST(w AS BIGINT) * w) AS sum_ww,
+                       SUM(CAST(h AS BIGINT) * h) AS sum_hh,
+                       SUM(CAST(w AS BIGINT) * h) AS sum_wh
+                FROM {_IMAGES} WHERE w IS NOT NULL AND h IS NOT NULL
+                GROUP BY fmt)
+            SELECT fmt, CAST(n AS BIGINT) AS n,
+                   CASE WHEN (n * sum_ww - sum_w * sum_w) > 0
+                         AND (n * sum_hh - sum_h * sum_h) > 0
+                        THEN CAST(floor(1e6 * (
+                            CAST(n * sum_wh - sum_w * sum_h AS DOUBLE)
+                            / sqrt(CAST(n * sum_ww - sum_w * sum_w AS DOUBLE)
+                                   * CAST(n * sum_hh - sum_h * sum_h AS DOUBLE))
+                        )) AS BIGINT)
+                        ELSE NULL END AS corr_micro
+            FROM s
+        """,
+        "caption_dup_xphash": f"""
+            SELECT caption, CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_phash,
+                   COUNT(*) AS n_rows
+            FROM {_IMAGES} WHERE caption IS NOT NULL
+            GROUP BY caption HAVING COUNT(DISTINCT phash) > 1
+        """,
+        "parts_semi_heavy": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                                WHERE l_quantity > 49)
+        """,
+        "png_only_captions": f"""
+            SELECT DISTINCT caption FROM {_IMAGES}
+            WHERE fmt = 'png' AND caption IS NOT NULL
+            EXCEPT
+            SELECT DISTINCT caption FROM {_IMAGES}
+            WHERE fmt = 'jpeg' AND caption IS NOT NULL
+        """,
+        "events_gap_quantiles": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events)
+            SELECT user_id, CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        "lang_top_docs_concat": """
+            SELECT lang,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+                   COUNT(*) AS n
+            FROM (SELECT lang, doc_id, row_number() OVER (
+                      PARTITION BY lang ORDER BY doc_id) AS rn
+                  FROM documents) t
+            WHERE rn <= 5 GROUP BY lang
+        """,
     }
+
+
+def _pii_scan_sql() -> str:
+    """PII-scan oracle built from the SAME pattern strings the Ray side
+    compiles (functions/text.PII_PATTERNS) — single source of truth."""
+    from katydid_haskell_ray.functions.text import PII_PATTERNS
+
+    counts = ",\n                ".join(
+        f"CAST(len(regexp_extract_all(text2, '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in PII_PATTERNS.items())
+    return f"""
+        WITH aug AS (
+            SELECT doc_id, text ||
+                CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+                     || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ref'
+                     ELSE '' END AS text2
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                {counts}
+            FROM aug)
+        SELECT * FROM c WHERE n_emails + n_phones + n_ssns > 0
+    """
 
 
 def _caption_ref_sql() -> str:

@@ -111,3 +111,80 @@ class TextAnalysisStage:
         if self.with_fingerprint:
             batch["fingerprint"] = fingerprint64(t)
         return batch
+
+
+def repetition_metrics(texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style intra-document repetition features, fully vectorized:
+    all texts in the batch are tokenized once, flattened into ONE token
+    array with a doc-index column, and every per-doc statistic is a
+    groupby over that flat frame — no per-row Python.
+
+    Columns (SQL-reproducible; see the doc_quality_gopher oracle):
+    - n_tokens            whitespace token count
+    - n_distinct_tokens   COUNT(DISTINCT token) within the doc
+    - top_token_n         occurrences of the single most frequent token
+    - n_bigrams           n_tokens - 1 (0 when n_tokens < 2)
+    - n_distinct_bigrams  COUNT(DISTINCT adjacent token pair)
+    """
+    t = texts.fillna("")
+    toks = t.str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    n = len(t)
+    if n == 0 or int(lens.sum()) == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return pd.DataFrame({"n_tokens": lens if n else z,
+                             "n_distinct_tokens": z, "top_token_n": z,
+                             "n_bigrams": z, "n_distinct_bigrams": z})
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat = np.concatenate([x for x in toks.to_numpy() if len(x)])
+    # token-level: distinct + max frequency per doc via one codes pass
+    codes = pd.factorize(flat)[0]
+    df = pd.DataFrame({"d": doc_idx, "c": codes})
+    per_tok = df.groupby(["d", "c"], sort=False).size()
+    g = per_tok.groupby(level=0)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_n = np.zeros(n, dtype=np.int64)
+    n_distinct[g.size().index.to_numpy()] = g.size().to_numpy()
+    top_n[g.max().index.to_numpy()] = g.max().to_numpy()
+    # bigram-level: adjacent (code, code) pairs within one doc
+    same_doc = doc_idx[:-1] == doc_idx[1:]
+    bg_doc = doc_idx[:-1][same_doc]
+    bg_code = (codes[:-1][same_doc].astype(np.int64) * (codes.max() + 1)
+               + codes[1:][same_doc])
+    n_bigrams = np.maximum(lens - 1, 0)
+    n_distinct_bg = np.zeros(n, dtype=np.int64)
+    if len(bg_doc):
+        bgu = (pd.DataFrame({"d": bg_doc, "c": bg_code})
+               .drop_duplicates().groupby("d").size())
+        n_distinct_bg[bgu.index.to_numpy()] = bgu.to_numpy()
+    return pd.DataFrame({"n_tokens": lens, "n_distinct_tokens": n_distinct,
+                         "top_token_n": top_n, "n_bigrams": n_bigrams,
+                         "n_distinct_bigrams": n_distinct_bg})
+
+
+# PII scan patterns — compiled once per process (actor-pool discipline).
+# RE2-compatible (no backrefs/lookarounds) so the DuckDB oracle runs the
+# SAME pattern text via regexp_extract_all.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\b555-[0-9]{4}\b",
+    "n_ssns": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+_PII_COMPILED = {k: re.compile(v) for k, v in PII_PATTERNS.items()}
+
+
+def pii_counts(texts: pd.Series) -> pd.DataFrame:
+    """Non-overlapping match counts per PII pattern (str.count ==
+    len(regexp_extract_all) — both scan left-to-right non-overlapping)."""
+    t = texts.fillna("")
+    return pd.DataFrame({k: t.str.count(rx).to_numpy(dtype=np.int64)
+                         for k, rx in _PII_COMPILED.items()})
+
+
+def pii_redact(texts: pd.Series) -> pd.Series:
+    """Replace every PII match with a typed tag (applied in PII_PATTERNS
+    order, same as chained regexp_replace(..., 'g') in the oracle)."""
+    t = texts.fillna("")
+    for k, rx in _PII_COMPILED.items():
+        t = t.str.replace(rx, f"<{k[2:-1].upper()}>", regex=True)
+    return t

@@ -1144,3 +1144,263 @@ def distinct_event_types(sf_dir: str):
     """Dataset.unique demonstration (the distinct-values wide op)."""
     vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")
     return pa.table({"event_type": pa.array(sorted(vals), type=pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# round-2 continuation: quality filtering, PII, image stats, set ops
+# ---------------------------------------------------------------------------
+
+
+def doc_quality_gopher(sf_dir: str):
+    """Gopher-style intra-document repetition quality filter (duplicate
+    token / bigram / top-token ratios + a pass flag).  Fully vectorized:
+    one flattened token frame per batch (functions/text.repetition_metrics)
+    — embarrassingly parallel, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        m = TX.repetition_metrics(b["text"])
+        n_tok = m["n_tokens"].to_numpy()
+        n_bg = m["n_bigrams"].to_numpy()
+        dup_tok = np.where(n_tok == 0, 0.0,
+                           1.0 - m["n_distinct_tokens"].to_numpy()
+                           / np.maximum(n_tok, 1))
+        top_ratio = np.where(n_tok == 0, 0.0,
+                             m["top_token_n"].to_numpy()
+                             / np.maximum(n_tok, 1))
+        dup_bg = np.where(n_bg == 0, 0.0,
+                          1.0 - m["n_distinct_bigrams"].to_numpy()
+                          / np.maximum(n_bg, 1))
+        dup_tok_m = _micros(dup_tok)
+        top_m = _micros(top_ratio)
+        dup_bg_m = _micros(dup_bg)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": n_tok,
+            "dup_token_ratio_micro": dup_tok_m,
+            "top_token_ratio_micro": top_m,
+            "dup_bigram_ratio_micro": dup_bg_m,
+            # integer-domain thresholds => bit-identical to the oracle
+            # (cut near each metric's p90 so the filter actually splits)
+            "quality_pass": (n_tok >= 5) & (dup_bg_m < 60_000)
+                            & (top_m < 140_000) & (dup_tok_m < 680_000),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _pii_augmented(sf_dir: str):
+    """documents with deterministic PII injections (the corpus itself has
+    no emails/phones) — reproducible in SQL, like _augmented_docs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        t = b["text"].fillna("").reset_index(drop=True)
+        idstr = pd.Series(ids.astype(str))
+        email = (" contact user" + idstr + "@example.com now").where(
+            ids % 5 == 0, "")
+        phone = (" call 555-" + pd.Series((1000 + ids % 9000).astype(str))
+                 + " today").where(ids % 7 == 0, "")
+        ssn = (" ssn 123-45-" + pd.Series(
+            np.char.zfill((ids % 10000).astype(str), 4)) + " ref").where(
+            ids % 11 == 0, "")
+        return pd.DataFrame({"doc_id": ids, "text2": t + email + phone + ssn})
+
+    return ds.map_batches(aug, batch_format="pandas")
+
+
+def pii_scan_docs(sf_dir: str):
+    """PII scan: per-doc regex match counts (email / phone / SSN shapes),
+    emitting only documents where anything was found.  Patterns compile
+    once per process; counting is vectorized str.count — no shuffle."""
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        c = TX.pii_counts(b["text2"])
+        c.insert(0, "doc_id", b["doc_id"].to_numpy())
+        return c[(c["n_emails"] + c["n_phones"] + c["n_ssns"]) > 0]
+
+    return _pii_augmented(sf_dir).map_batches(scan, batch_format="pandas")
+
+
+def images_resolution_hist(sf_dir: str):
+    """Resolution histogram: images per (fmt, 256K-pixel bucket) with total
+    pixel volume — combiner-before-shuffle on the tiny partial stream."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["fmt", "w", "h"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["w"].notna() & b["h"].notna()]
+        px = (b["w"].to_numpy(dtype=np.int64)
+              * b["h"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"fmt": b["fmt"].to_numpy(),
+                             "px_bucket": px // 262_144, "sum_px": px})
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    return grouped_sum(prepped, ["fmt", "px_bucket"],
+                       {"sum_px": "sum_px"}, count_as="n_images")
+
+
+def images_wh_corr(sf_dir: str):
+    """Pearson correlation of (w, h) per format from exact int64 moment
+    sums (sum, sum-of-squares, cross) — one combiner aggregate, then the
+    SAME double-precision formula as the oracle on the tiny result.
+    Scale note: int64 moments overflow around 1e7 rows x 16K px; at 1e12
+    scale the partial moments become float64 (or split hi/lo words) —
+    the exchange shape is unchanged."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["fmt", "w", "h"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["w"].notna() & b["h"].notna()]
+        w = b["w"].to_numpy(dtype=np.int64)
+        h = b["h"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"fmt": b["fmt"].to_numpy(),
+                             "sum_w": w, "sum_h": h, "sum_ww": w * w,
+                             "sum_hh": h * h, "sum_wh": w * h})
+
+    agg = grouped_sum(ds.map_batches(prep, batch_format="pandas"), ["fmt"],
+                      {"sum_w": "sum_w", "sum_h": "sum_h",
+                       "sum_ww": "sum_ww", "sum_hh": "sum_hh",
+                       "sum_wh": "sum_wh"}, count_as="n").to_pandas()
+    n = agg["n"].to_numpy()
+    num = n * agg["sum_wh"].to_numpy() \
+        - agg["sum_w"].to_numpy() * agg["sum_h"].to_numpy()
+    var_w = n * agg["sum_ww"].to_numpy() - agg["sum_w"].to_numpy() ** 2
+    var_h = n * agg["sum_hh"].to_numpy() - agg["sum_h"].to_numpy() ** 2
+    ok = (var_w > 0) & (var_h > 0)
+    den = np.sqrt(var_w.astype(np.float64) * var_h.astype(np.float64),
+                  where=ok, out=np.ones_like(var_w, dtype=np.float64))
+    micro = np.floor(1e6 * (num.astype(np.float64) / den)).astype(np.int64)
+    return pa.table({
+        "fmt": pa.array(agg["fmt"]),
+        "n": pa.array(n.astype(np.int64)),
+        "corr_micro": pa.array(
+            [int(v) if k else None for v, k in zip(micro, ok)],
+            type=pa.int64())})
+
+
+def caption_dup_xphash(sf_dir: str):
+    """Captions attached to >1 distinct phash (same text, different image)
+    — grouped distinct-count + total count in ONE caption-hash bucketed
+    exchange over (caption, phash, n) combiner partials."""
+    from katydid_haskell_ray.state import sketches as SK_
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["caption", "phash"])
+    n_buckets = 64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["caption"].notna()]
+        return (b.groupby(["caption", "phash"], as_index=False, dropna=False)
+                .size().rename(columns={"size": "n"}))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hsh = SK_.hash64_array(t.column("caption")) % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("caption", as_index=False)
+               .agg(n_phash=("phash", "nunique"), n_rows=("n", "sum")))
+        out = out[out["n_phash"] > 1]
+        return out.astype({"n_phash": np.int64, "n_rows": np.int64})
+
+    bucketed = (ds.map_batches(partial, batch_format="pandas")
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
+def parts_semi_heavy(sf_dir: str):
+    """Semi join (EXISTS): parts with at least one near-max-quantity
+    lineitem.  The right side collapses to its distinct key set through
+    the bucketed exchange FIRST (stages/keys.distinct_values), so the
+    inner hash join emits each part at most once and only key columns
+    ever shuffle — the distributed semi-join shape (a Bloom prefilter
+    slots in front of the join at scale; keys.BloomProbe)."""
+    from katydid_haskell_ray.stages.join import hash_join
+    line = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+            .filter(expr="l_quantity > 49")
+            .map_batches(lambda b: b.select(["l_partkey"])
+                         .rename_columns(["p_partkey"]),
+                         batch_format="pyarrow"))
+    keys_ds = K.distinct_values(line, "p_partkey")
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return hash_join(part, keys_ds, key="p_partkey",
+                     left_cols=["p_name"], right_cols=[], how="inner")
+
+
+def png_only_captions(sf_dir: str):
+    """Set difference (EXCEPT): distinct captions of png images minus
+    those of jpeg images — two distinct-value exchanges + the distributed
+    anti join, never a driver-side set."""
+    from katydid_haskell_ray.stages.join import hash_join
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["caption", "fmt"])
+
+    def only(fmt: str):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.and_kleene(pc.equal(t.column("fmt"), fmt),
+                                 pc.is_valid(t.column("caption")))
+            return t.filter(pc.fill_null(keep, False)).select(["caption"])
+        return K.distinct_values(ds.map_batches(f, batch_format="pyarrow"),
+                                 "caption")
+
+    return hash_join(only("png"), only("jpeg"), key="caption",
+                     left_cols=[], right_cols=[], how="left_anti")
+
+
+def events_gap_quantiles(sf_dir: str):
+    """Per-user median inter-arrival gap (microseconds): the LAG window +
+    grouped quantile_disc, fused into ONE user-bucketed exchange (a user
+    never spans buckets, so gaps AND the per-user quantile index are
+    computed in the same vectorized per-bucket pass)."""
+    from katydid_haskell_ray.state import sketches as SK_
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_buckets = 32
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hsh = SK_.hash64_array(t.column("user_id")) % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        gap = ts[1:] - ts[:-1]
+        same = u[1:] == u[:-1]
+        d = pd.DataFrame({"user_id": u[1:][same], "gap_us": gap[same]})
+        d = d.sort_values(["user_id", "gap_us"], kind="mergesort")
+        sizes = d.groupby("user_id", sort=False)["gap_us"].transform("size")
+        # DuckDB quantile_disc index: max(ceil(q*N) - 1, 0), q*N in double
+        target = np.maximum(np.ceil(0.5 * sizes.to_numpy()) - 1, 0)
+        rank = d.groupby("user_id", sort=False).cumcount().to_numpy()
+        return (d[rank == target]
+                .rename(columns={"gap_us": "p50_gap_us"})
+                .reset_index(drop=True))
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
+def lang_top_docs_concat(sf_dir: str):
+    """Collect-list aggregate: the 5 smallest doc_ids per language as a
+    comma-joined string (string_agg ... ORDER BY parity).  The grouped
+    top-k combiner bounds the exchange to k rows per group; only the
+    k x groups result reaches the driver for the final join."""
+    from katydid_haskell_ray.stages.topk import grouped_topk
+    ds = _read(sf_dir, "documents", ["lang", "doc_id"])
+    top = grouped_topk(ds, group_cols=["lang"], k=5, by=["doc_id"],
+                       ascending=[True]).to_pandas()
+    top = top.sort_values(["lang", "doc_id"], kind="mergesort")
+    return (top.groupby("lang", as_index=False, dropna=False)
+            .agg(doc_ids=("doc_id", lambda s: ",".join(map(str, s))),
+                 n=("doc_id", "size"))
+            .astype({"n": np.int64}))

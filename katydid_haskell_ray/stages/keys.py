@@ -92,6 +92,33 @@ def exact_distinct_count(ds, key: str, n_buckets: int = 64) -> int:
     return int(out.to_pandas()["n"].sum())
 
 
+def distinct_values(ds, key: str, n_buckets: int = 64):
+    """Dataset of the distinct values of ``key`` (SELECT DISTINCT key).
+
+    Per-batch dedup partials, then a key-hash bucketed exchange with a
+    per-bucket dedup — exchange volume is O(distinct per block), and the
+    result stays a Dataset (one block per bucket), never a driver list.
+    The building block for distributed semi joins and set differences."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column(key)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pa.table({key: arr.drop_null().unique()})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[key]].drop_duplicates()
+
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    bucketed = (ds.select_columns([key])
+                .map_batches(partial, batch_format="pyarrow")
+                .map_batches(_add_bucket(key, n_buckets),
+                             batch_format="pyarrow"))
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets,
+                             bucket_col="bucket")
+
+
 def build_bloom_from_dataset(ds, key: str, n_items_hint: int | None = None,
                              fp_rate: float = 1e-3) -> SK.Bloom:
     """Build a Bloom filter of a (small-side) key set by streaming batches

@@ -1,0 +1,145 @@
+"""Tests for the quality-filter / PII / set-op / gap-quantile operators."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from katydid_haskell_ray.functions import text as TX
+
+
+def _rand_texts(n=60, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    out = []
+    for i in range(n):
+        k = int(rng.integers(0, 9))
+        out.append(" ".join(rng.choice(vocab, size=k)))
+    out += ["", "solo", "a a a a a a"]
+    return pd.Series(out)
+
+
+def test_repetition_metrics_bruteforce():
+    texts = _rand_texts()
+    m = TX.repetition_metrics(texts)
+    for i, t in enumerate(texts):
+        tk = t.split()
+        bg = [f"{tk[j]} {tk[j + 1]}" for j in range(len(tk) - 1)]
+        assert m["n_tokens"][i] == len(tk)
+        assert m["n_distinct_tokens"][i] == len(set(tk))
+        assert m["top_token_n"][i] == max(
+            (tk.count(w) for w in set(tk)), default=0)
+        assert m["n_bigrams"][i] == len(bg)
+        assert m["n_distinct_bigrams"][i] == len(set(bg))
+
+
+def test_pii_counts_and_redact():
+    s = pd.Series(["mail a.b@x.co and c@d.io", "call 555-1234 or 555-9999",
+                   "ssn 123-45-6789", "clean text", None])
+    c = TX.pii_counts(s)
+    assert c["n_emails"].tolist() == [2, 0, 0, 0, 0]
+    assert c["n_phones"].tolist() == [0, 2, 0, 0, 0]
+    assert c["n_ssns"].tolist() == [0, 0, 1, 0, 0]
+    r = TX.pii_redact(pd.Series(["a@b.co 555-1234 123-45-6789 ok"]))
+    assert r[0] == "<EMAIL> <PHONE> <SSN> ok"
+
+
+def test_distinct_values_stage(ray_session):
+    import ray.data
+    from katydid_haskell_ray.stages.keys import distinct_values
+
+    vals = [1, 2, 2, 3, None, 3, 3, 7] * 50
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(vals, type=pa.int64())})).repartition(8)
+    out = sorted(distinct_values(ds, "k").to_pandas()["k"])
+    assert out == [1, 2, 3, 7]  # nulls dropped, one row per value
+
+
+def test_doc_quality_gopher_oracle(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    got = (E.queries()["doc_quality_gopher"](sf_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    exp = (con.execute(E.oracle_sql()["doc_quality_gopher"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["quality_pass"].dtype == bool
+    for c in ("n_tokens", "dup_token_ratio_micro", "top_token_ratio_micro",
+              "dup_bigram_ratio_micro"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert got["quality_pass"].tolist() == exp["quality_pass"].astype(bool).tolist()
+    # the threshold actually splits the corpus (not vacuously all-pass)
+    assert 0 < got["quality_pass"].sum() < len(got)
+
+
+def test_events_gap_quantiles_oracle(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    got = (E.queries()["events_gap_quantiles"](sf_dir).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    exp = (con.execute(E.oracle_sql()["events_gap_quantiles"]).df()
+           .sort_values("user_id").reset_index(drop=True))
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["p50_gap_us"].tolist() == exp["p50_gap_us"].tolist()
+
+
+def test_semi_join_vs_pandas(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    got = (E.queries()["parts_semi_heavy"](sf_dir).to_pandas()
+           .sort_values("p_partkey").reset_index(drop=True))
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    line = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity"])
+    keys = set(line.loc[line["l_quantity"] > 49, "l_partkey"])
+    exp = (part[part["p_partkey"].isin(keys)]
+           .sort_values("p_partkey").reset_index(drop=True))
+    assert got["p_partkey"].tolist() == exp["p_partkey"].tolist()
+    assert got["p_name"].tolist() == exp["p_name"].tolist()
+    # semi: each part at most once
+    assert got["p_partkey"].is_unique
+
+
+def test_wh_corr_null_on_constant_column(ray_session, tmp_path, monkeypatch):
+    """corr is NULL (not a crash / garbage) when a side has zero variance."""
+    import ray.data
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    img = pa.table({
+        "fmt": pa.array(["png"] * 4 + ["bmp"] * 4),
+        "w": pa.array([5, 5, 5, 5, 1, 2, 3, 4], type=pa.int32()),
+        "h": pa.array([7, 8, 9, 10, 2, 4, 6, 8], type=pa.int32())})
+    import pyarrow.parquet as pq
+    p = tmp_path / "images.parquet"
+    pq.write_table(img, str(p))
+    monkeypatch.setattr(Q, "images_parquet", lambda sf: str(p))
+    out = Q.images_wh_corr("ignored").to_pandas().set_index("fmt")
+    assert pd.isna(out.loc["png", "corr_micro"])  # w constant
+    # h = 2w exactly: num=40, den=sqrt(20*80)=40 -> corr exactly 1.0
+    assert out.loc["bmp", "corr_micro"] == 1_000_000
+
+
+def test_gap_quantiles_empty_and_single(ray_session):
+    """Users with a single event produce no gap row; empty input -> empty."""
+    import ray.data
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [10, 10, 99],
+        "ts": [t0, t0 + pd.Timedelta(seconds=5), t0]})
+    import pyarrow.parquet as pq
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
+    out = Q.events_gap_quantiles(d).to_pandas()
+    assert out["user_id"].tolist() == [10]
+    assert out["p50_gap_us"].tolist() == [5_000_000]

@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_only_captions": Q.png_only_captions,
         "events_gap_quantiles": Q.events_gap_quantiles,
         "lang_top_docs_concat": Q.lang_top_docs_concat,
+        "docs_percent_rank": Q.docs_percent_rank,
+        "events_cumsum": Q.events_cumsum,
+        "lang_tfidf_terms": Q.lang_tfidf_terms,
+        "events_outliers": Q.events_outliers,
+        "building_urgent_outer": Q.building_urgent_outer,
     }
 
 
@@ -716,6 +721,65 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY lang ORDER BY doc_id) AS rn
                   FROM documents) t
             WHERE rn <= 5 GROUP BY lang
+        """,
+        "docs_percent_rank": """
+            SELECT doc_id, lang,
+                   CAST(floor(1e6 * percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars)) AS BIGINT) AS pr_micro
+            FROM documents
+        """,
+        "events_cumsum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM events
+        """,
+        "lang_tfidf_terms": r"""
+            WITH tok AS (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+                FROM documents),
+            tf AS (SELECT lang, token, COUNT(*) AS tf FROM tok
+                   GROUP BY lang, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            scored AS (
+                SELECT tf.lang, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+                       CAST(floor(1e6 * (CAST(tf.tf AS DOUBLE) / df.df))
+                            AS BIGINT) AS score_micro,
+                       row_number() OVER (PARTITION BY tf.lang
+                           ORDER BY floor(1e6 * (CAST(tf.tf AS DOUBLE) / df.df))
+                                    DESC, tf.token) AS rn
+                FROM tf JOIN df USING (token))
+            SELECT lang, token, tf, score_micro FROM scored WHERE rn <= 3
+        """,
+        "events_outliers": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            s AS (SELECT event_type, COUNT(*) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS sum_c,
+                         CAST(SUM(cents * cents) AS BIGINT) AS sum_sq
+                  FROM c GROUP BY event_type),
+            b AS (SELECT event_type,
+                         CAST(sum_c AS DOUBLE) / n AS mean,
+                         sqrt((CAST(sum_sq AS DOUBLE)
+                               - CAST(sum_c AS DOUBLE) * sum_c / n) / n) AS sd
+                  FROM s)
+            SELECT c.event_id, c.event_type, c.cents
+            FROM c JOIN b USING (event_type)
+            WHERE c.cents < b.mean - 3 * b.sd OR c.cents > b.mean + 3 * b.sd
+        """,
+        "building_urgent_outer": """
+            WITH b AS (SELECT c_custkey, TRUE AS in_building FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+            u AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_urgent
+                  FROM orders WHERE o_orderpriority = '1-URGENT'
+                  GROUP BY o_custkey)
+            SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+                   COALESCE(b.in_building, FALSE) AS in_building,
+                   CAST(COALESCE(u.n_urgent, 0) AS BIGINT) AS n_urgent
+            FROM b FULL OUTER JOIN u ON b.c_custkey = u.c_custkey
         """,
     }
 

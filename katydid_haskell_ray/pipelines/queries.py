@@ -1404,3 +1404,181 @@ def lang_top_docs_concat(sf_dir: str):
             .agg(doc_ids=("doc_id", lambda s: ",".join(map(str, s))),
                  n=("doc_id", "size"))
             .astype({"n": np.int64}))
+
+
+def docs_percent_rank(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) — rank with
+    ties (rank_min), (r-1)/(N-1) in double, floored to micro.  One
+    lang-bucketed exchange; ranking is a vectorized pandas pass per
+    bucket (a lang never spans buckets)."""
+    from katydid_haskell_ray.state import sketches as SK_
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    n_buckets = 16
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hsh = SK_.hash64_array(t.column("lang")) % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("lang", sort=False)["n_chars"].rank(method="min")
+        n = g.groupby("lang", sort=False)["n_chars"].transform("size")
+        pr = np.where(n.to_numpy() > 1,
+                      (r.to_numpy() - 1) / np.maximum(n.to_numpy() - 1, 1),
+                      0.0)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "lang": g["lang"].to_numpy(),
+                             "pr_micro": _micros(pr)})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
+def events_cumsum(sf_dir: str):
+    """Running total per user (SUM OVER ROWS UNBOUNDED PRECEDING, ordered
+    by ts then event_id) — per-row floor-cents first so integer cumsum is
+    exact, one user-bucketed exchange, C-speed groupby-cumsum inside."""
+    from katydid_haskell_ray.state import sketches as SK_
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_buckets = 32
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(_cents(
+                t.column("value").to_numpy(zero_copy_only=False)))})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hsh = SK_.hash64_array(t.column("user_id")) % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g["cum_cents"] = g.groupby("user_id", sort=False)["cents"].cumsum()
+        return g[["event_id", "user_id", "cum_cents"]].reset_index(drop=True)
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
+def lang_tfidf_terms(sf_dir: str):
+    """Top-3 characteristic terms per language by tf/df score (tf = token
+    count within the language, df = number of languages containing the
+    token; score_micro = floor(1e6 * tf / df)).  Multi-stage: tokenize →
+    (lang, token) combiner counts → token-keyed df aggregate → token-hash
+    join → grouped top-3.  Every exchange is over (lang, token) partials,
+    never raw text."""
+    from katydid_haskell_ray.stages.join import hash_join
+    from katydid_haskell_ray.stages.topk import grouped_topk
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if int(lens.sum()) == 0:
+            return pd.DataFrame({"lang": [], "token": []})
+        langs = np.repeat(b["lang"].to_numpy(), lens)
+        flat = np.concatenate([x for x in toks.to_numpy() if len(x)])
+        return (pd.DataFrame({"lang": langs, "token": flat})
+                .groupby(["lang", "token"], as_index=False).size()
+                .rename(columns={"size": "tf"}))
+
+    pairs = grouped_sum(_read(sf_dir, "documents", ["lang", "text"])
+                        .map_batches(explode, batch_format="pandas"),
+                        ["lang", "token"], {"tf": "tf"}, count_as=None)
+    # pairs has exactly one row per (lang, token), so df per token is just
+    # a row count over pairs — stays a Dataset (no driver-side vocab)
+    df_counts = grouped_sum(pairs, ["token"], {}, count_as="df")
+    scored = hash_join(pairs, df_counts, key="token",
+                       left_cols=["lang", "tf"], right_cols=["df"],
+                       how="inner")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b["score_micro"] = _micros(b["tf"].to_numpy()
+                                   / b["df"].to_numpy())
+        return b[["lang", "token", "tf", "score_micro"]]
+
+    scored = scored.map_batches(score, batch_format="pandas")
+    top = grouped_topk(scored, group_cols=["lang"], k=3,
+                       by=["score_micro", "token"], ascending=[False, True])
+    return top.select_columns(["lang", "token", "tf", "score_micro"])
+
+
+def events_outliers(sf_dir: str):
+    """Z-score outliers: events whose floor-cents value is more than 3
+    population standard deviations from their type's mean.  Tiny moment
+    aggregate (n, sum, sum-of-squares — exact int64) → per-type bounds on
+    the driver → broadcast filter; the raw stream is scanned twice but
+    never shuffled."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(b["value"].to_numpy())
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                             "event_type": b["event_type"].to_numpy(),
+                             "cents": c, "sum_sq": c * c})
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    mom = grouped_sum(
+        prepped.map_batches(
+            lambda b: b[["event_type", "cents", "sum_sq"]],
+            batch_format="pandas"),
+        ["event_type"], {"sum_c": "cents", "sum_sq": "sum_sq"},
+        count_as="n").to_pandas()
+    # identical double formula as the oracle: mean = sum/n,
+    # sd = sqrt((sumsq - sum*sum/n)/n); bounds mean ± 3*sd
+    bounds = {}
+    for _, r in mom.iterrows():
+        n = float(r["n"])
+        mean = float(r["sum_c"]) / n
+        sd = np.sqrt((float(r["sum_sq"])
+                      - float(r["sum_c"]) * float(r["sum_c"]) / n) / n)
+        bounds[r["event_type"]] = (mean - 3 * sd, mean + 3 * sd)
+    bref = ray.put(bounds)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bref)
+        lo = b["event_type"].map({k: v[0] for k, v in bd.items()}).to_numpy()
+        hi = b["event_type"].map({k: v[1] for k, v in bd.items()}).to_numpy()
+        c = b["cents"].to_numpy()
+        return b.loc[(c < lo) | (c > hi),
+                     ["event_id", "event_type", "cents"]]
+
+    return prepped.map_batches(flag, batch_format="pandas")
+
+
+def building_urgent_outer(sf_dir: str):
+    """Full outer join: BUILDING-segment customers reconciled against the
+    per-customer urgent-order counts — rows unmatched on EITHER side
+    survive (the two-reports-reconciliation shape).  Same bucketed
+    exchange as inner; per-bucket pandas outer merge unions exactly
+    because a key lands in one bucket."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    left = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'")
+            .map_batches(lambda b: b.select(["c_custkey"])
+                         .append_column("in_building",
+                                        pa.array([True] * b.num_rows)),
+                         batch_format="pyarrow"))
+    urgent = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .filter(expr="o_orderpriority == '1-URGENT'")
+              .map_batches(lambda b: b.select(["o_custkey"])
+                           .rename_columns(["c_custkey"]),
+                           batch_format="pyarrow"))
+    counts = grouped_sum(urgent, ["c_custkey"], {}, count_as="n_urgent")
+    joined = hash_join(left, counts, key="c_custkey",
+                       left_cols=["in_building"], right_cols=["n_urgent"],
+                       how="outer")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+            "in_building": b["in_building"].eq(True).to_numpy(dtype=bool),
+            "n_urgent": b["n_urgent"].fillna(0).to_numpy(dtype=np.int64)})
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -38,6 +38,8 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
 
     Shuffle shape: each side is projected to its join columns, tagged with
     a coarse key-hash bucket, and cogrouped through the raw-task exchange
+    (``how`` ∈ inner / left / left_anti / outer — a key lands in exactly
+    one bucket, so per-bucket full-outer merges union exactly)
     (stages/exchange.py) — the two sides never union, so each keeps its
     Arrow schema end-to-end (no null-fill, no int->float coercion for
     inner/anti joins; a left/outer merge still NaN-fills unmatched right
@@ -72,6 +74,12 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
         # a 0-column frame means that side was GLOBALLY empty (the exchange
         # passes Ray's degenerate empty blocks through as such)
         if ldf.shape[1] == 0:
+            if how == "outer" and rdf.shape[1] != 0:
+                out = rdf[rcols].copy()
+                for c in lcols:
+                    if c not in keys:
+                        out[c] = np.nan
+                return out[lcols + [c for c in rcols if c not in keys]]
             return ldf  # empty output, Ray's empty-block convention
         ldf = ldf[lcols]
         if rdf.shape[1] == 0:

@@ -143,3 +143,77 @@ def test_gap_quantiles_empty_and_single(ray_session):
     out = Q.events_gap_quantiles(d).to_pandas()
     assert out["user_id"].tolist() == [10]
     assert out["p50_gap_us"].tolist() == [5_000_000]
+
+
+def test_outer_join_both_sides_survive(ray_session):
+    import ray.data
+    from katydid_haskell_ray.stages.join import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "l": pa.array(["a", "b", "c"])}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], type=pa.int64()),
+        "r": pa.array([20, 30, 40], type=pa.int64())}))
+    out = (hash_join(left, right, key="k", left_cols=["l"],
+                     right_cols=["r"], how="outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["l"].tolist()[:3] == ["a", "b", "c"] and pd.isna(out["l"][3])
+    assert pd.isna(out["r"][0]) and out["r"].tolist()[1:] == [20, 30, 40]
+
+
+def test_outer_join_one_side_empty(ray_session):
+    import ray.data
+    from katydid_haskell_ray.stages.join import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([], type=pa.int64()), "l": pa.array([], type=pa.string())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([7], type=pa.int64()), "r": pa.array([70], type=pa.int64())}))
+    out = hash_join(left, right, key="k", left_cols=["l"],
+                    right_cols=["r"], how="outer").to_pandas()
+    assert out["k"].tolist() == [7] and out["r"].tolist() == [70]
+    assert pd.isna(out["l"][0])
+    out2 = hash_join(right, left, key="k", left_cols=["r"],
+                     right_cols=["l"], how="outer").to_pandas()
+    assert out2["k"].tolist() == [7] and out2["r"].tolist() == [70]
+
+
+def test_building_urgent_outer_reconciles(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    got = E.queries()["building_urgent_outer"](sf_dir).to_pandas()
+    # rows unmatched on each side both survive
+    assert (~got["in_building"]).any()       # urgent but not BUILDING
+    assert (got["n_urgent"] == 0).any()      # BUILDING but no urgent order
+    assert got["c_custkey"].is_unique
+
+
+def test_events_cumsum_matches_pandas(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    got = (E.queries()["events_cumsum"](sf_dir).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ev["cum"] = ev.groupby("user_id")["cents"].cumsum()
+    ev = ev.sort_values("event_id").reset_index(drop=True)
+    assert got["cum_cents"].tolist() == ev["cum"].tolist()
+
+
+def test_percent_rank_ties_share_rank(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "lang": pa.array(["en"] * 5),
+        "n_chars": pa.array([10, 10, 20, 30, 30], type=pa.int64())})
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    out = (Q.docs_percent_rank(str(tmp_path)).to_pandas()
+           .sort_values("doc_id"))
+    # percent_rank = (rank_min - 1) / (N - 1): ties share the min rank
+    assert out["pr_micro"].tolist() == [0, 0, 500_000, 750_000, 750_000]

@@ -82,7 +82,10 @@ def run_bench() -> dict:
         "images_uniqueness", "order_priority_revenue", "events_asof_order",
         # round-2 operators
         "events_hopping", "events_rolling", "user_event_pivot",
-        "doc_len_quantiles", "lineitem_group_share", "knn_join_docs")
+        "doc_len_quantiles", "lineitem_group_share", "knn_join_docs",
+        # round-2 continuation: quality / PII / set ops / windows
+        "doc_quality_gopher", "pii_scan_docs", "parts_semi_heavy",
+        "events_cumsum", "lang_tfidf_terms", "events_outliers")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

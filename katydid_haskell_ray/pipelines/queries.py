@@ -1472,7 +1472,6 @@ def lang_tfidf_terms(sf_dir: str):
     (lang, token) combiner counts → token-keyed df aggregate → token-hash
     join → grouped top-3.  Every exchange is over (lang, token) partials,
     never raw text."""
-    from katydid_haskell_ray.stages.join import hash_join
     from katydid_haskell_ray.stages.topk import grouped_topk
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
@@ -1487,22 +1486,30 @@ def lang_tfidf_terms(sf_dir: str):
                 .groupby(["lang", "token"], as_index=False).size()
                 .rename(columns={"size": "tf"}))
 
-    pairs = grouped_sum(_read(sf_dir, "documents", ["lang", "text"])
-                        .map_batches(explode, batch_format="pandas"),
-                        ["lang", "token"], {"tf": "tf"}, count_as=None)
-    # pairs has exactly one row per (lang, token), so df per token is just
-    # a row count over pairs — stays a Dataset (no driver-side vocab)
-    df_counts = grouped_sum(pairs, ["token"], {}, count_as="df")
-    scored = hash_join(pairs, df_counts, key="token",
-                       left_cols=["lang", "tf"], right_cols=["df"],
-                       how="inner")
+    # ONE token-bucketed exchange computes tf, df AND the tf⋈df join: a
+    # token never spans buckets, so per-bucket = sum tf per (lang, token),
+    # count langs per token, and an in-bucket merge — no second exchange,
+    # no driver-side vocab.  (First formulation used 4 exchanges — pairs
+    # aggregate, df aggregate, hash join, top-k — and was 4x slower.)
+    from katydid_haskell_ray.state import sketches as SK_
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    n_buckets = 64
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        b["score_micro"] = _micros(b["tf"].to_numpy()
-                                   / b["df"].to_numpy())
-        return b[["lang", "token", "tf", "score_micro"]]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hsh = SK_.hash64_array(t.column("token")) % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
 
-    scored = scored.map_batches(score, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tf = (g.groupby(["lang", "token"], as_index=False)["tf"].sum())
+        df_t = (tf.groupby("token")["lang"].size()
+                .rename("df").reset_index())
+        m = tf.merge(df_t, on="token")
+        m["score_micro"] = _micros(m["tf"].to_numpy() / m["df"].to_numpy())
+        return m[["lang", "token", "tf", "score_micro"]]
+
+    partials = (ds.map_batches(explode, batch_format="pandas")
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    scored = bucket_map_groups(partials, per_bucket, n_buckets=n_buckets)
     top = grouped_topk(scored, group_cols=["lang"], k=3,
                        by=["score_micro", "token"], ascending=[False, True])
     return top.select_columns(["lang", "token", "tf", "score_micro"])

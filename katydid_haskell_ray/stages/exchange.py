@@ -114,6 +114,45 @@ def bucketed_group_sum(partials, keys: list[str], *, n_buckets: int = 64):
                              per_bucket, n_buckets=n_buckets)
 
 
+def salted_group_sum(rows, keys: list[str], *, n_salt: int = 8,
+                     n_buckets: int = 64):
+    """Salted repartitioning before groupby — the hot-key escape hatch.
+
+    The per-batch combiner (queries.grouped_sum) already bounds skew for
+    algebraic aggregates: a hot key contributes ONE partial row per block.
+    But when partials can't combine inside a block (high distinct payload
+    per key, or the caller ships raw rows), a hot key sends every row to
+    one reduce bucket.  This stage appends a deterministic salt in
+    [0, n_salt) (row position — legal because integer sums are
+    associative/commutative, so the result is salt-assignment-invariant),
+    aggregates per (key..., salt) through the bucketed exchange — the hot
+    key now spreads over up to n_salt buckets — then re-aggregates the
+    tiny (key, salt) stream per key in a second, trivially small exchange.
+    """
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        s = (np.arange(t.num_rows, dtype=np.int64)
+             % n_salt).astype(np.int32)
+        return t.append_column("__salt", pa.array(s))
+
+    def to_arrow(t):
+        if isinstance(t, pd.DataFrame):
+            return pa.Table.from_pandas(t, preserve_index=False)
+        return t
+
+    level1 = bucketed_group_sum(
+        rows.map_batches(to_arrow, batch_format="pyarrow")
+        .map_batches(add_salt, batch_format="pyarrow"),
+        keys + ["__salt"], n_buckets=n_buckets)
+
+    def drop_salt(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__salt"])
+
+    return bucketed_group_sum(
+        level1.map_batches(drop_salt, batch_format="pyarrow"),
+        keys, n_buckets=min(n_buckets, 16))
+
+
 def bucket_cogroup(left, right, fn, *, n_buckets: int,
                    bucket_col: str = "__bucket"):
     """Two-sided keyed exchange: per bucket, ``fn(left_df, right_df)`` on

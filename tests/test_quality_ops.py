@@ -217,3 +217,28 @@ def test_percent_rank_ties_share_rank(ray_session, tmp_path):
            .sort_values("doc_id"))
     # percent_rank = (rank_min - 1) / (N - 1): ties share the min rank
     assert out["pr_micro"].tolist() == [0, 0, 500_000, 750_000, 750_000]
+
+
+def test_salted_group_sum_hot_key(ray_session):
+    """Salted two-level aggregation matches the unsalted result on a
+    pathologically hot key (50% of all rows on one key)."""
+    import ray.data
+    from katydid_haskell_ray.stages.exchange import (bucketed_group_sum,
+                                                     salted_group_sum)
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.5, 777,
+                    rng.integers(0, 1000, n)).astype(np.int64)
+    vals = rng.integers(0, 100, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(16)
+
+    salted = (salted_group_sum(ds, ["k"], n_salt=8).to_pandas()
+              .sort_values("k").reset_index(drop=True))
+    plain = (bucketed_group_sum(ds, ["k"]).to_pandas()
+             .sort_values("k").reset_index(drop=True))
+    exp = (pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False)
+           .sum().sort_values("k").reset_index(drop=True))
+    for got in (salted, plain):
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["v"].tolist() == exp["v"].tolist()

@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_tfidf_terms": Q.lang_tfidf_terms,
         "events_outliers": Q.events_outliers,
         "building_urgent_outer": Q.building_urgent_outer,
+        "events_trailing_1h": Q.events_trailing_1h,
+        "events_latest_per_user": Q.events_latest_per_user,
+        "docs_cube": Q.docs_cube,
+        "docs_checksum_per_lang": Q.docs_checksum_per_lang,
     }
 
 
@@ -780,6 +784,33 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.in_building, FALSE) AS in_building,
                    CAST(COALESCE(u.n_urgent, 0) AS BIGINT) AS n_urgent
             FROM b FULL OUTER JOIN u ON b.c_custkey = u.c_custkey
+        """,
+        "events_trailing_1h": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS trail_cents
+            FROM events
+        """,
+        "events_latest_per_user": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+            WHERE rn = 1
+        """,
+        "docs_cube": """
+            SELECT lang, source,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "docs_checksum_per_lang": """
+            SELECT lang,
+                   BIT_XOR(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+                       AS checksum,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
         """,
     }
 

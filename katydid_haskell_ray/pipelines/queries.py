@@ -1312,21 +1312,20 @@ def caption_dup_xphash(sf_dir: str):
 
 def parts_semi_heavy(sf_dir: str):
     """Semi join (EXISTS): parts with at least one near-max-quantity
-    lineitem.  The right side collapses to its distinct key set through
-    the bucketed exchange FIRST (stages/keys.distinct_values), so the
-    inner hash join emits each part at most once and only key columns
-    ever shuffle — the distributed semi-join shape (a Bloom prefilter
-    slots in front of the join at scale; keys.BloomProbe)."""
+    lineitem — hash_join(how="left_semi"): ONE cogrouped exchange, the
+    per-bucket isin keeps each part at most once with no right-side
+    dedup pass (a Bloom prefilter slots in front at scale;
+    keys.BloomProbe).  Per-batch dedup of the probe side still bounds
+    what shuffles: only distinct keys per block move."""
     from katydid_haskell_ray.stages.join import hash_join
     line = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
             .filter(expr="l_quantity > 49")
-            .map_batches(lambda b: b.select(["l_partkey"])
-                         .rename_columns(["p_partkey"]),
-                         batch_format="pyarrow"))
-    keys_ds = K.distinct_values(line, "p_partkey")
+            .map_batches(lambda b: pa.table(
+                {"p_partkey": b.column("l_partkey").unique()}),
+                batch_format="pyarrow"))
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    return hash_join(part, keys_ds, key="p_partkey",
-                     left_cols=["p_name"], right_cols=[], how="inner")
+    return hash_join(part, line, key="p_partkey",
+                     left_cols=["p_name"], right_cols=[], how="left_semi")
 
 
 def png_only_captions(sf_dir: str):
@@ -1530,12 +1529,17 @@ def events_outliers(sf_dir: str):
                              "cents": c, "sum_sq": c * c})
 
     prepped = ds.map_batches(prep, batch_format="pandas")
-    mom = grouped_sum(
-        prepped.map_batches(
-            lambda b: b[["event_type", "cents", "sum_sq"]],
-            batch_format="pandas"),
-        ["event_type"], {"sum_c": "cents", "sum_sq": "sum_sq"},
-        count_as="n").to_pandas()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("event_type", as_index=False)
+                .agg(sum_c=("cents", "sum"), sum_sq=("sum_sq", "sum"),
+                     n=("cents", "size")))
+
+    # the partial stream is blocks x types rows — a driver-side reduce of
+    # combiner partials is bounded at any scale, and skips a whole
+    # exchange materialization (was the dominant cost here)
+    mom = (prepped.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("event_type", as_index=False).sum())
     # identical double formula as the oracle: mean = sum/n,
     # sd = sqrt((sumsq - sum*sum/n)/n); bounds mean ± 3*sd
     bounds = {}
@@ -1589,3 +1593,126 @@ def building_urgent_outer(sf_dir: str):
             "n_urgent": b["n_urgent"].fillna(0).to_numpy(dtype=np.int64)})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def events_trailing_1h(sf_dir: str):
+    """Time-based window: per-user trailing-1-hour sum (SQL RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW).  Same single user-bucketed
+    exchange as the ROWS windows; inside the bucket the frame start is a
+    vectorized searchsorted over each user's sorted timestamps against a
+    prefix-sum array — no per-row loop, no second pass."""
+    from katydid_haskell_ray.state import sketches as SK_
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_buckets = 32
+    HOUR_US = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(_cents(
+                t.column("value").to_numpy(zero_copy_only=False)))})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hsh = SK_.hash64_array(t.column("user_id")) % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # a 0-row (but schema-carrying) bucket slice
+            return pd.DataFrame({"event_id": [], "user_id": [],
+                                 "trail_cents": []}).astype(np.int64)
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        c = g["cents"].to_numpy()
+        # ts is sorted only WITHIN a user segment; lift to one globally
+        # sorted axis by offsetting each segment past the previous one
+        # (partitioning assumption: users-per-bucket x (span + 1h) must
+        # fit int64 — size n_buckets so it does; asserted here)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        seg_idx = np.cumsum(new_user) - 1
+        rel = ts - ts.min()
+        offset = np.int64(rel.max()) + HOUR_US + 1
+        assert seg_idx[-1] < np.iinfo(np.int64).max // max(offset, 1), \
+            "trailing-window bucket too wide: raise n_buckets"
+        adj = seg_idx * offset + rel
+        # frame = [first idx with ts >= ts_i - 1h, last PEER of ts_i]:
+        # RANGE-mode CURRENT ROW extends through equal-ts peers, so the
+        # frame end is searchsorted right of the row's own adj value
+        lo = np.searchsorted(adj, adj - HOUR_US, side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        csum = np.r_[0, np.cumsum(c)]
+        out = csum[hi] - csum[lo]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": u, "trail_cents": out})
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
+def events_latest_per_user(sf_dir: str):
+    """Keep-latest dedup (last-write-wins by ts, event_id tiebreak) — the
+    ingestion-compaction shape, via the grouped top-k combiner with k=1."""
+    from katydid_haskell_ray.stages.topk import grouped_topk
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": t.column("event_type")})
+
+    out = grouped_topk(ds.map_batches(prep, batch_format="pyarrow"),
+                       group_cols=["user_id"], k=1,
+                       by=["ts_us", "event_id"], ascending=[False, False])
+    return out.select_columns(["user_id", "event_id", "ts_us", "event_type"])
+
+
+def docs_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source): all four grouping levels derived from
+    the finest grain, which aggregates through the exchange ONCE (the
+    docs_rollup pattern completed to the full cube)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = grouped_sum(ds, ["lang", "source"], {"sum_chars": "n_chars"},
+                       count_as="n_docs").to_pandas()
+    by_lang = (fine.groupby("lang", as_index=False)[["sum_chars", "n_docs"]]
+               .sum().assign(source=None))
+    by_source = (fine.groupby("source", as_index=False)[["sum_chars", "n_docs"]]
+                 .sum().assign(lang=None))
+    total = pd.DataFrame([{"lang": None, "source": None,
+                           "sum_chars": fine["sum_chars"].sum(),
+                           "n_docs": fine["n_docs"].sum()}])
+    cols = ["lang", "source", "sum_chars", "n_docs"]
+    out = pd.concat([fine[cols], by_lang[cols], by_source[cols],
+                     total[cols]], ignore_index=True)
+    return out.astype({"sum_chars": np.int64, "n_docs": np.int64})
+
+
+def docs_checksum_per_lang(sf_dir: str):
+    """Cross-engine order-insensitive content checksum per language:
+    XOR of the first 60 bits of md5(text) over each group — the
+    table-diff / anti-entropy primitive (two engines can compare a table
+    without moving it; XOR is commutative, so block order is free).
+    Combiner: per-batch XOR partials, then one tiny exchange."""
+    import hashlib
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        h = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in t),
+            dtype=np.int64, count=len(t))
+        d = pd.DataFrame({"lang": b["lang"].to_numpy(), "h": h})
+        return (d.groupby("lang", as_index=False)
+                .agg(checksum=("h", lambda s: np.bitwise_xor.reduce(
+                    s.to_numpy())), n_docs=("h", "size")))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.groupby("lang", as_index=False)
+           .agg(checksum=("checksum", lambda s: np.bitwise_xor.reduce(
+               s.to_numpy())), n_docs=("n_docs", "sum")))
+    return out.astype({"checksum": np.int64, "n_docs": np.int64})

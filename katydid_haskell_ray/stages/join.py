@@ -38,8 +38,10 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
 
     Shuffle shape: each side is projected to its join columns, tagged with
     a coarse key-hash bucket, and cogrouped through the raw-task exchange
-    (``how`` ∈ inner / left / left_anti / outer — a key lands in exactly
-    one bucket, so per-bucket full-outer merges union exactly)
+    (``how`` ∈ inner / left / left_anti / left_semi / outer — a key lands
+    in exactly one bucket, so per-bucket full-outer merges union exactly;
+    left_semi keeps left rows WITH a match, at most once, without
+    deduplicating the right side first)
     (stages/exchange.py) — the two sides never union, so each keeps its
     Arrow schema end-to-end (no null-fill, no int->float coercion for
     inner/anti joins; a left/outer merge still NaN-fills unmatched right
@@ -85,7 +87,7 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
         if rdf.shape[1] == 0:
             if how == "left_anti":
                 return ldf  # nothing to subtract
-            if how == "inner":
+            if how in ("inner", "left_semi"):
                 return ldf.iloc[0:0]
             out = ldf.copy()  # left join: all unmatched
             for c in rcols:
@@ -93,12 +95,14 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
                     out[c] = np.nan
             return out
         rdf = rdf[rcols]
-        if how == "left_anti":
+        if how in ("left_anti", "left_semi"):
             if len(keys) == 1:
-                return ldf[~ldf[keys[0]].isin(rdf[keys[0]])]
+                mask = ldf[keys[0]].isin(rdf[keys[0]])
+                return ldf[mask if how == "left_semi" else ~mask]
             m = ldf.merge(rdf[keys].drop_duplicates(), on=keys,
                           how="left", indicator=True)
-            return m[m["_merge"] == "left_only"].drop(columns="_merge")
+            want = "both" if how == "left_semi" else "left_only"
+            return m[m["_merge"] == want].drop(columns="_merge")
         return ldf.merge(rdf, on=keys, how=how)
 
     return bucket_cogroup(tagged_l, tagged_r, merge_bucket,

@@ -242,3 +242,39 @@ def test_salted_group_sum_hot_key(ray_session):
     for got in (salted, plain):
         assert got["k"].tolist() == exp["k"].tolist()
         assert got["v"].tolist() == exp["v"].tolist()
+
+
+def test_trailing_window_tie_peers(ray_session, tmp_path):
+    """RANGE-mode CURRENT ROW extends through equal-ts peers — both rows
+    at the tied timestamp must see BOTH values in their frame."""
+    import pyarrow.parquet as pq
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [5, 5, 5, 5],
+        "ts": [t0, t0 + pd.Timedelta(minutes=30),
+               t0 + pd.Timedelta(minutes=30),          # tie with event 2
+               t0 + pd.Timedelta(hours=2)],            # outside 1h of all
+        "value": [1.0, 2.0, 3.0, 4.0]})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    out = (Q.events_trailing_1h(str(tmp_path)).to_pandas()
+           .sort_values("event_id"))
+    # events 2 and 3 are peers: both frames = 100+200+300
+    assert out["trail_cents"].tolist() == [100, 600, 600, 400]
+
+
+def test_checksum_matches_duckdb(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    got = (to := E.queries()["docs_checksum_per_lang"](sf_dir))
+    got = (to.to_pandas() if hasattr(to, "to_pandas") else to) \
+        .sort_values("lang").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    exp = (con.execute(E.oracle_sql()["docs_checksum_per_lang"]).df()
+           .sort_values("lang").reset_index(drop=True))
+    assert got["checksum"].tolist() == exp["checksum"].tolist()
+    assert got["n_docs"].tolist() == exp["n_docs"].tolist()

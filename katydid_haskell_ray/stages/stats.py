@@ -43,11 +43,17 @@ class StatsPartials:
     """
 
     def __init__(self, numeric: Iterable[str] = (), keys: Iterable[str] = (),
-                 strings: Iterable[str] = (), kll_k: int = 256):
+                 strings: Iterable[str] = (), kll_k: int = 256,
+                 quantile_sketch: str = "kll"):
         self.numeric = tuple(numeric)
         self.keys = tuple(keys)
         self.strings = tuple(strings)
         self.kll_k = kll_k
+        if quantile_sketch not in ("kll", "tdigest"):
+            raise ValueError(f"unknown quantile sketch {quantile_sketch!r}")
+        # both sketches share the add_values/merge/quantiles interface, so
+        # the partial blob slot and the downstream merge are agnostic
+        self.quantile_sketch = quantile_sketch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -66,8 +72,9 @@ class StatsPartials:
                 row["min"] = float(vals.min())
                 row["max"] = float(vals.max())
                 row["sum"] = float(vals.sum())
-                row["kll"] = pickle.dumps(
-                    SK.KLL(self.kll_k).add_values(vals), protocol=5)
+                sk = (SK.KLL(self.kll_k) if self.quantile_sketch == "kll"
+                      else SK.TDigest())
+                row["kll"] = pickle.dumps(sk.add_values(vals), protocol=5)
             elif col in self.strings and len(valid):
                 mm = pc.min_max(valid)
                 row["min_s"] = str(mm["min"].as_py())

@@ -407,3 +407,106 @@ def hamming_distance64(a, b) -> np.ndarray:
     av = np.atleast_1d(np.asarray(a)).astype(np.int64).view(np.uint64)
     bv = np.atleast_1d(np.asarray(b)).astype(np.int64).view(np.uint64)
     return popcount64(av ^ bv)
+
+
+class TDigest:
+    """Mergeable t-digest quantile sketch (Dunning's centroid scheme with
+    the k1 scale function) — the north star names "KLL/t-digest"; KLL
+    serves the drift checks, this is the floating-point-friendly
+    alternative with tighter tail accuracy.
+
+    Deterministic: centroids are kept sorted by mean and compression
+    clusters left-to-right under the k1 size bound, so identical inputs
+    (in identical batch order) produce identical sketches — the same
+    resume-friendliness contract as the KLL above.  Centroid arrays are
+    rebuilt on compress, so merging a Ray zero-copy deserialized sketch
+    never mutates a read-only buffer."""
+
+    __slots__ = ("delta", "means", "weights", "count", "_buf")
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.count = 0.0
+        self._buf: list[np.ndarray] = []
+
+    # -- scale function k1 and its cluster-size bound ---------------------
+    def _compress(self):
+        parts = [m for m in ([self.means] if len(self.means) else [])]
+        wparts = [w for w in ([self.weights] if len(self.weights) else [])]
+        if self._buf:
+            b = np.concatenate(self._buf)
+            parts.append(b)
+            wparts.append(np.ones(len(b)))
+            self._buf = []
+        if not parts:
+            return
+        m = np.concatenate(parts)
+        w = np.concatenate(wparts)
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        total = w.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        q0 = 0.0
+        acc_m, acc_w = m[0], w[0]
+        qlim = self._q_limit(q0, total)
+        for i in range(1, len(m)):
+            if acc_w + w[i] <= (qlim - q0) * total:
+                # weighted running mean keeps the centroid exact
+                acc_m = (acc_m * acc_w + m[i] * w[i]) / (acc_w + w[i])
+                acc_w += w[i]
+            else:
+                out_m.append(acc_m)
+                out_w.append(acc_w)
+                q0 += acc_w / total
+                qlim = self._q_limit(q0, total)
+                acc_m, acc_w = m[i], w[i]
+        out_m.append(acc_m)
+        out_w.append(acc_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+        self.count = float(total)
+
+    def _q_limit(self, q0: float, total: float) -> float:
+        # k1 scale: k(q) = delta/(2*pi) * asin(2q-1); invert one k-unit
+        k0 = (self.delta / (2 * np.pi)) * np.arcsin(2 * q0 - 1)
+        return (np.sin((k0 + 1) * (2 * np.pi) / self.delta) + 1) / 2
+
+    def add_values(self, vals: np.ndarray) -> "TDigest":
+        vals = np.asarray(vals, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return self
+        self._buf.append(vals)
+        self.count += len(vals)
+        if sum(len(b) for b in self._buf) > 8 * self.delta:
+            self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._compress()
+        o = TDigest(other.delta)
+        o.means = other.means
+        o.weights = other.weights
+        o._buf = list(other._buf)
+        o.count = other.count
+        o._compress()
+        if len(o.means):
+            self.means = np.concatenate([self.means, o.means])
+            self.weights = np.concatenate([self.weights, o.weights])
+        self.count = float(self.weights.sum()) if len(self.weights) else 0.0
+        self._compress()
+        return self
+
+    def quantiles(self, qs) -> np.ndarray:
+        self._compress()
+        if not len(self.means):
+            return np.full(len(qs), np.nan)
+        cw = np.cumsum(self.weights) - self.weights / 2
+        out = []
+        for q in qs:
+            target = q * self.count
+            out.append(float(np.interp(target, cw, self.means)))
+        return np.array(out)

@@ -134,3 +134,87 @@ def test_merge_stats_associative():
     assert merged["x"]["max"] == both["x"]["max"] == 20.0
     assert merged["x"]["nulls"] == 1
     assert round(merged["k"]["cardinality"]) == round(both["k"]["cardinality"]) == 3
+
+
+def test_tdigest_accuracy_and_merge():
+    import numpy as np
+    from katydid_haskell_ray.state.sketches import TDigest
+
+    rng = np.random.default_rng(0)
+    data = rng.exponential(50, 200_000)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    exact = np.quantile(data, qs)
+
+    td = TDigest(100)
+    for chunk in np.array_split(data, 40):
+        td.add_values(chunk)
+    rel = np.abs(td.quantiles(qs) - exact) / np.maximum(exact, 1e-9)
+    assert (rel < 0.08).all(), rel
+
+    # merging two halves approximates the whole
+    a, b = TDigest(100), TDigest(100)
+    for chunk in np.array_split(data[:100_000], 20):
+        a.add_values(chunk)
+    for chunk in np.array_split(data[100_000:], 20):
+        b.add_values(chunk)
+    a.merge(b)
+    assert a.count == 200_000
+    rel2 = np.abs(a.quantiles(qs) - exact) / np.maximum(exact, 1e-9)
+    assert (rel2 < 0.08).all(), rel2
+
+
+def test_tdigest_deterministic_and_pickle_safe():
+    import pickle
+    import numpy as np
+    from katydid_haskell_ray.state.sketches import TDigest
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(0, 1, 50_000)
+
+    def build():
+        t = TDigest(64)
+        for chunk in np.array_split(data, 10):
+            t.add_values(chunk)
+        t._compress()
+        return t
+
+    t1, t2 = build(), build()
+    assert np.array_equal(t1.means, t2.means)
+    assert np.array_equal(t1.weights, t2.weights)
+
+    # zero-copy-style round trip then merge must not blow up on read-only
+    # buffers (the Ray object-store deserialization contract)
+    frozen = pickle.loads(pickle.dumps(t1, protocol=5))
+    frozen.means.flags.writeable = False
+    frozen.weights.flags.writeable = False
+    t2.merge(frozen)
+    assert t2.count == 100_000
+
+
+def test_tdigest_empty_and_nan():
+    import numpy as np
+    from katydid_haskell_ray.state.sketches import TDigest
+
+    t = TDigest()
+    assert np.isnan(t.quantiles([0.5])).all()
+    t.add_values(np.array([np.nan, np.nan]))
+    assert t.count == 0
+    t.add_values(np.array([5.0, np.nan, 7.0]))
+    assert t.count == 2
+    assert 5.0 <= t.quantiles([0.5])[0] <= 7.0
+
+
+def test_stats_partials_tdigest_option(ray_session):
+    import pickle
+    import numpy as np
+    import pyarrow as pa
+    from katydid_haskell_ray.stages.stats import StatsPartials
+    from katydid_haskell_ray.state.sketches import TDigest
+
+    rng = np.random.default_rng(2)
+    tab = pa.table({"v": pa.array(rng.normal(10, 2, 5000))})
+    parts = StatsPartials(numeric=["v"], quantile_sketch="tdigest")(tab)
+    sk = pickle.loads(parts.column("kll")[0].as_py())
+    assert isinstance(sk, TDigest)
+    q = sk.quantiles([0.5])[0]
+    assert 9.5 < q < 10.5

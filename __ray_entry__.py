@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": Q.events_latest_per_user,
         "docs_cube": Q.docs_cube,
         "docs_checksum_per_lang": Q.docs_checksum_per_lang,
+        "embedding_centroids": Q.embedding_centroids,
+        "kmeans_embeddings": Q.kmeans_embeddings,  # rows-only (iterative)
     }
 
 
@@ -811,6 +813,17 @@ def oracle_sql() -> dict[str, str]:
                        AS checksum,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "embedding_centroids": """
+            SELECT label, dim,
+                   CAST(SUM(m) AS BIGINT) AS sum_micro,
+                   COUNT(*) AS n
+            FROM (SELECT CAST(label AS BIGINT) AS label,
+                         generate_subscripts(embedding, 1) AS dim,
+                         CAST(floor(1e6 * CAST(unnest(embedding) AS DOUBLE))
+                              AS BIGINT) AS m
+                  FROM embeddings) t
+            GROUP BY label, dim
         """,
     }
 

@@ -1716,3 +1716,89 @@ def docs_checksum_per_lang(sf_dir: str):
            .agg(checksum=("checksum", lambda s: np.bitwise_xor.reduce(
                s.to_numpy())), n_docs=("n_docs", "sum")))
     return out.astype({"checksum": np.int64, "n_docs": np.int64})
+
+
+def embedding_centroids(sf_dir: str):
+    """Element-wise vector aggregate: per-label centroid sums in long form
+    (label, dim, sum_micro, n) — the k-means / class-prototype building
+    block.  Per-row floats floor to micro int64 BEFORE summation (integer
+    sums are order-independent; float32 -> float64 widening is exact on
+    both engines), then one (label, dim)-keyed combiner exchange."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(b["embedding"].to_numpy())
+        micro = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+        d = pd.DataFrame(micro, columns=np.arange(1, micro.shape[1] + 1))
+        d["label"] = b["label"].to_numpy().astype(np.int64)
+        g = d.groupby("label")
+        sums = g.sum()
+        n = g.size()
+        long = sums.reset_index().melt(id_vars="label", var_name="dim",
+                                       value_name="sum_micro")
+        long["dim"] = long["dim"].astype(np.int64)
+        long = long.merge(n.rename("n").reset_index(), on="label")
+        return long.astype({"label": np.int64, "sum_micro": np.int64,
+                            "n": np.int64})
+
+    prepped = ds.map_batches(partial, batch_format="pandas")
+    return grouped_sum(prepped, ["label", "dim"],
+                       {"sum_micro": "sum_micro", "n": "n"}, count_as=None)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 4, iters: int = 3):
+    """Iterative k-means over the embedding column (rows-only: iterative
+    algorithms are not SQL-expressible; pytest verifies against an
+    identical-arithmetic numpy reference).  Deterministic: init = the k
+    lowest vec_ids' vectors; assignment ties break to the lowest cluster
+    index (argmin).  Each iteration: centroids broadcast once via
+    ray.put, per-batch vectorized assign + partial (cluster, sum, n)
+    moments, driver-reduces the tiny k x dim partials — the raw stream is
+    scanned per iteration but never shuffled."""
+    from katydid_haskell_ray.stages.topk import topk_rows
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    init = topk_rows(ds, k=k, by=["vec_id"], ascending=[True])
+    init = init.sort_values("vec_id")
+    cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+
+    def assign_fn(cref):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            emb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1)
+            return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(),
+                                 "cluster": cl.astype(np.int64)})
+        return f
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def moments(b: pd.DataFrame, cref=cref) -> pd.DataFrame:
+            c = ray.get(cref)
+            emb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1)
+            out = []
+            for j in range(len(c)):
+                m = cl == j
+                if m.any():
+                    out.append({"cluster": j, "n": int(m.sum()),
+                                "vsum": emb[m].sum(axis=0)})
+            return pd.DataFrame(out)
+
+        parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+        new = cents.copy()
+        for j in range(k):
+            pj = parts[parts["cluster"] == j]
+            if len(pj):
+                # fixed reduce order (partial stream sorted by block) would
+                # still be float-order-dependent across blockings; k-means
+                # only needs self-consistency, documented rows-only
+                new[j] = np.sum(np.stack(pj["vsum"].to_numpy()), axis=0) \
+                    / pj["n"].sum()
+        cents = new
+
+    cref = ray.put(cents)
+    return ds.map_batches(assign_fn(cref), batch_format="pandas")

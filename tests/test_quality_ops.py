@@ -278,3 +278,41 @@ def test_checksum_matches_duckdb(ray_session, sf_dir):
            .sort_values("lang").reset_index(drop=True))
     assert got["checksum"].tolist() == exp["checksum"].tolist()
     assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+
+
+def test_embedding_centroids_long_form(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    got = (E.queries()["embedding_centroids"](sf_dir).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.floor(np.stack(emb["embedding"].to_numpy())
+                   .astype(np.float64) * 1e6).astype(np.int64)
+    for lab in got["label"].unique()[:3]:
+        rows = mat[emb["label"].to_numpy() == lab]
+        sub = got[got["label"] == lab]
+        assert sub["sum_micro"].to_numpy().tolist() == rows.sum(0).tolist()
+        assert (sub["n"] == len(rows)).all()
+
+
+def test_kmeans_matches_numpy_reference(ray_session, sf_dir):
+    """The distributed k-means must produce the same assignments as a
+    single-process numpy run with identical arithmetic and init."""
+    import __ray_entry__ as E
+
+    got = (E.queries()["kmeans_embeddings"](sf_dir).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    k, iters = 4, 3
+    cents = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        for j in range(k):
+            if (cl == j).any():
+                cents[j] = X[cl == j].sum(axis=0) / (cl == j).sum()
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expect = d2.argmin(axis=1)
+    assert got["cluster"].tolist() == expect.tolist()
+    assert got["cluster"].nunique() > 1  # actually clusters

@@ -316,3 +316,37 @@ def test_kmeans_matches_numpy_reference(ray_session, sf_dir):
     expect = d2.argmin(axis=1)
     assert got["cluster"].tolist() == expect.tolist()
     assert got["cluster"].nunique() > 1  # actually clusters
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_trailing_window_random_vs_bruteforce(ray_session, tmp_path, seed):
+    """Randomized cross-check of the RANGE-window searchsorted/offset math
+    against an O(n^2) per-row reference, including tied timestamps."""
+    import pyarrow.parquet as pq
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    base = pd.Timestamp("2024-03-01").value // 1000  # us
+    ts_us = base + rng.integers(0, 4 * 3_600_000_000, n)
+    ts_us[rng.integers(0, n, 30)] = ts_us[rng.integers(0, n, 30)]  # ties
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n).astype(np.int64),
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "value": rng.uniform(0, 50, n)})
+    d = tmp_path / f"tw{seed}"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(d / "events.parquet"))
+
+    got = (Q.events_trailing_1h(str(d)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+    HOUR = 3_600_000_000
+    exp = []
+    for i in range(n):
+        u, t = df["user_id"][i], ts_us[i]
+        # frame: same user, ts in [t-1h, t] INCLUDING peers at exactly t
+        m = (df["user_id"].to_numpy() == u) & (ts_us >= t - HOUR) & (ts_us <= t)
+        exp.append(int(cents[m].sum()))
+    assert got["trail_cents"].tolist() == exp

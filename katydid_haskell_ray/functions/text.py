@@ -144,8 +144,9 @@ def repetition_metrics(texts: pd.Series) -> pd.DataFrame:
     g = per_tok.groupby(level=0)
     n_distinct = np.zeros(n, dtype=np.int64)
     top_n = np.zeros(n, dtype=np.int64)
-    n_distinct[g.size().index.to_numpy()] = g.size().to_numpy()
-    top_n[g.max().index.to_numpy()] = g.max().to_numpy()
+    gs, gm = g.size(), g.max()
+    n_distinct[gs.index.to_numpy()] = gs.to_numpy()
+    top_n[gm.index.to_numpy()] = gm.to_numpy()
     # bigram-level: adjacent (code, code) pairs within one doc
     same_doc = doc_idx[:-1] == doc_idx[1:]
     bg_doc = doc_idx[:-1][same_doc]

@@ -1284,7 +1284,6 @@ def caption_dup_xphash(sf_dir: str):
     """Captions attached to >1 distinct phash (same text, different image)
     — grouped distinct-count + total count in ONE caption-hash bucketed
     exchange over (caption, phash, n) combiner partials."""
-    from katydid_haskell_ray.state import sketches as SK_
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = ray.data.read_parquet(images_parquet(sf_dir),
                                columns=["caption", "phash"])
@@ -1295,9 +1294,7 @@ def caption_dup_xphash(sf_dir: str):
         return (b.groupby(["caption", "phash"], as_index=False, dropna=False)
                 .size().rename(columns={"size": "n"}))
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        hsh = SK_.hash64_array(t.column("caption")) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+    add_bucket = K.add_bucket_fn("caption", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby("caption", as_index=False)
@@ -1353,7 +1350,6 @@ def events_gap_quantiles(sf_dir: str):
     grouped quantile_disc, fused into ONE user-bucketed exchange (a user
     never spans buckets, so gaps AND the per-user quantile index are
     computed in the same vectorized per-bucket pass)."""
-    from katydid_haskell_ray.state import sketches as SK_
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     n_buckets = 32
@@ -1364,9 +1360,7 @@ def events_gap_quantiles(sf_dir: str):
             "user_id": t.column("user_id"),
             "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())})
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        hsh = SK_.hash64_array(t.column("user_id")) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -1410,14 +1404,11 @@ def docs_percent_rank(sf_dir: str):
     ties (rank_min), (r-1)/(N-1) in double, floored to micro.  One
     lang-bucketed exchange; ranking is a vectorized pandas pass per
     bucket (a lang never spans buckets)."""
-    from katydid_haskell_ray.state import sketches as SK_
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     n_buckets = 16
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        hsh = SK_.hash64_array(t.column("lang")) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+    add_bucket = K.add_bucket_fn("lang", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         r = g.groupby("lang", sort=False)["n_chars"].rank(method="min")
@@ -1437,7 +1428,6 @@ def events_cumsum(sf_dir: str):
     """Running total per user (SUM OVER ROWS UNBOUNDED PRECEDING, ordered
     by ts then event_id) — per-row floor-cents first so integer cumsum is
     exact, one user-bucketed exchange, C-speed groupby-cumsum inside."""
-    from katydid_haskell_ray.state import sketches as SK_
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     n_buckets = 32
@@ -1450,9 +1440,7 @@ def events_cumsum(sf_dir: str):
             "cents": pa.array(_cents(
                 t.column("value").to_numpy(zero_copy_only=False)))})
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        hsh = SK_.hash64_array(t.column("user_id")) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -1482,24 +1470,22 @@ def lang_tfidf_terms(sf_dir: str):
         langs = np.repeat(b["lang"].to_numpy(), lens)
         flat = np.concatenate([x for x in toks.to_numpy() if len(x)])
         return (pd.DataFrame({"lang": langs, "token": flat})
-                .groupby(["lang", "token"], as_index=False).size()
-                .rename(columns={"size": "tf"}))
+                .groupby(["lang", "token"], as_index=False, dropna=False)
+                .size().rename(columns={"size": "tf"}))
 
     # ONE token-bucketed exchange computes tf, df AND the tf⋈df join: a
     # token never spans buckets, so per-bucket = sum tf per (lang, token),
     # count langs per token, and an in-bucket merge — no second exchange,
     # no driver-side vocab.  (First formulation used 4 exchanges — pairs
     # aggregate, df aggregate, hash join, top-k — and was 4x slower.)
-    from katydid_haskell_ray.state import sketches as SK_
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
     n_buckets = 64
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        hsh = SK_.hash64_array(t.column("token")) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+    add_bucket = K.add_bucket_fn("token", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        tf = (g.groupby(["lang", "token"], as_index=False)["tf"].sum())
+        tf = (g.groupby(["lang", "token"], as_index=False,
+                        dropna=False)["tf"].sum())
         df_t = (tf.groupby("token")["lang"].size()
                 .rename("df").reset_index())
         m = tf.merge(df_t, on="token")
@@ -1531,7 +1517,7 @@ def events_outliers(sf_dir: str):
     prepped = ds.map_batches(prep, batch_format="pandas")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return (b.groupby("event_type", as_index=False)
+        return (b.groupby("event_type", as_index=False, dropna=False)
                 .agg(sum_c=("cents", "sum"), sum_sq=("sum_sq", "sum"),
                      n=("cents", "size")))
 
@@ -1539,7 +1525,7 @@ def events_outliers(sf_dir: str):
     # combiner partials is bounded at any scale, and skips a whole
     # exchange materialization (was the dominant cost here)
     mom = (prepped.map_batches(partial, batch_format="pandas").to_pandas()
-           .groupby("event_type", as_index=False).sum())
+           .groupby("event_type", as_index=False, dropna=False).sum())
     # identical double formula as the oracle: mean = sum/n,
     # sd = sqrt((sumsq - sum*sum/n)/n); bounds mean ± 3*sd
     bounds = {}
@@ -1601,7 +1587,6 @@ def events_trailing_1h(sf_dir: str):
     exchange as the ROWS windows; inside the bucket the frame start is a
     vectorized searchsorted over each user's sorted timestamps against a
     prefix-sum array — no per-row loop, no second pass."""
-    from katydid_haskell_ray.state import sketches as SK_
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     n_buckets = 32
@@ -1615,9 +1600,7 @@ def events_trailing_1h(sf_dir: str):
             "cents": pa.array(_cents(
                 t.column("value").to_numpy(zero_copy_only=False)))})
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        hsh = SK_.hash64_array(t.column("user_id")) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(hsh.astype(np.int32)))
+    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:  # a 0-row (but schema-carrying) bucket slice
@@ -1679,10 +1662,10 @@ def docs_cube(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
     fine = grouped_sum(ds, ["lang", "source"], {"sum_chars": "n_chars"},
                        count_as="n_docs").to_pandas()
-    by_lang = (fine.groupby("lang", as_index=False)[["sum_chars", "n_docs"]]
-               .sum().assign(source=None))
-    by_source = (fine.groupby("source", as_index=False)[["sum_chars", "n_docs"]]
-                 .sum().assign(lang=None))
+    by_lang = (fine.groupby("lang", as_index=False, dropna=False)
+               [["sum_chars", "n_docs"]].sum().assign(source=None))
+    by_source = (fine.groupby("source", as_index=False, dropna=False)
+                 [["sum_chars", "n_docs"]].sum().assign(lang=None))
     total = pd.DataFrame([{"lang": None, "source": None,
                            "sum_chars": fine["sum_chars"].sum(),
                            "n_docs": fine["n_docs"].sum()}])
@@ -1707,12 +1690,12 @@ def docs_checksum_per_lang(sf_dir: str):
             (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in t),
             dtype=np.int64, count=len(t))
         d = pd.DataFrame({"lang": b["lang"].to_numpy(), "h": h})
-        return (d.groupby("lang", as_index=False)
+        return (d.groupby("lang", as_index=False, dropna=False)
                 .agg(checksum=("h", lambda s: np.bitwise_xor.reduce(
                     s.to_numpy())), n_docs=("h", "size")))
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = (parts.groupby("lang", as_index=False)
+    out = (parts.groupby("lang", as_index=False, dropna=False)
            .agg(checksum=("checksum", lambda s: np.bitwise_xor.reduce(
                s.to_numpy())), n_docs=("n_docs", "sum")))
     return out.astype({"checksum": np.int64, "n_docs": np.int64})

@@ -135,14 +135,8 @@ def salted_group_sum(rows, keys: list[str], *, n_salt: int = 8,
              % n_salt).astype(np.int32)
         return t.append_column("__salt", pa.array(s))
 
-    def to_arrow(t):
-        if isinstance(t, pd.DataFrame):
-            return pa.Table.from_pandas(t, preserve_index=False)
-        return t
-
     level1 = bucketed_group_sum(
-        rows.map_batches(to_arrow, batch_format="pyarrow")
-        .map_batches(add_salt, batch_format="pyarrow"),
+        rows.map_batches(add_salt, batch_format="pyarrow"),
         keys + ["__salt"], n_buckets=n_buckets)
 
     def drop_salt(t: pa.Table) -> pa.Table:

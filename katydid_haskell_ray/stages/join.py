@@ -96,11 +96,15 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
             return out
         rdf = rdf[rcols]
         if how in ("left_anti", "left_semi"):
+            # SQL EXISTS/NOT EXISTS semantics: a NULL key never matches
+            # (pandas isin/merge would treat NaN == NaN as a match), so
+            # NULL right keys are dropped — a NULL-key left row is kept by
+            # anti and dropped by semi, as NOT EXISTS / EXISTS would
             if len(keys) == 1:
-                mask = ldf[keys[0]].isin(rdf[keys[0]])
+                mask = ldf[keys[0]].isin(rdf[keys[0]].dropna())
                 return ldf[mask if how == "left_semi" else ~mask]
-            m = ldf.merge(rdf[keys].drop_duplicates(), on=keys,
-                          how="left", indicator=True)
+            rk = rdf[keys].dropna().drop_duplicates()
+            m = ldf.merge(rk, on=keys, how="left", indicator=True)
             want = "both" if how == "left_semi" else "left_only"
             return m[m["_merge"] == want].drop(columns="_merge")
         return ldf.merge(rdf, on=keys, how=how)

@@ -38,14 +38,19 @@ def partial_key_counts(key: str):
     return f
 
 
-def _add_bucket(key: str, n_buckets: int):
+def add_bucket_fn(key: str, n_buckets: int, bucket_col: str = "bucket"):
+    """map_batches fn: append an int32 key-hash bucket column — the shared
+    front half of every single-key bucketed exchange in the repo."""
     def f(batch: pa.Table) -> pa.Table:
         arr = batch.column(key)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         h = SK.hash64_array(arr) % np.uint64(n_buckets)
-        return batch.append_column("bucket", pa.array(h.astype(np.int32)))
+        return batch.append_column(bucket_col, pa.array(h.astype(np.int32)))
     return f
+
+
+_add_bucket = add_bucket_fn  # internal alias (existing call sites)
 
 
 def duplicate_keys(ds, key: str, n_buckets: int = 64):
@@ -93,7 +98,12 @@ def exact_distinct_count(ds, key: str, n_buckets: int = 64) -> int:
 
 
 def distinct_values(ds, key: str, n_buckets: int = 64):
-    """Dataset of the distinct values of ``key`` (SELECT DISTINCT key).
+    """Dataset of the distinct NON-NULL values of ``key``.
+
+    NOTE: SQL ``SELECT DISTINCT`` would keep one NULL row; this drops
+    NULLs (the semi-join/EXISTS building-block semantics, where a NULL
+    key never matches).  Union a null row explicitly if you need the SQL
+    DISTINCT contract on a nullable column.
 
     Per-batch dedup partials, then a key-hash bucketed exchange with a
     per-bucket dedup — exchange volume is O(distinct per block), and the

@@ -126,9 +126,9 @@ def test_wh_corr_null_on_constant_column(ray_session, tmp_path, monkeypatch):
     assert out.loc["bmp", "corr_micro"] == 1_000_000
 
 
-def test_gap_quantiles_empty_and_single(ray_session):
+def test_gap_quantiles_empty_and_single(ray_session, tmp_path):
     """Users with a single event produce no gap row; empty input -> empty."""
-    import ray.data
+    import pyarrow.parquet as pq
     from katydid_haskell_ray.pipelines import queries as Q
 
     t0 = pd.Timestamp("2024-01-01")
@@ -136,13 +136,16 @@ def test_gap_quantiles_empty_and_single(ray_session):
         "event_id": [1, 2, 3],
         "user_id": [10, 10, 99],
         "ts": [t0, t0 + pd.Timedelta(seconds=5), t0]})
-    import pyarrow.parquet as pq
-    import tempfile, os
-    d = tempfile.mkdtemp()
-    pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
-    out = Q.events_gap_quantiles(d).to_pandas()
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    out = Q.events_gap_quantiles(str(tmp_path)).to_pandas()
     assert out["user_id"].tolist() == [10]
     assert out["p50_gap_us"].tolist() == [5_000_000]
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.Table.from_pandas(df.iloc[0:0]),
+                   str(empty / "events.parquet"))
+    assert len(Q.events_gap_quantiles(str(empty)).to_pandas()) == 0
 
 
 def test_outer_join_both_sides_survive(ray_session):
@@ -314,7 +317,14 @@ def test_kmeans_matches_numpy_reference(ray_session, sf_dir):
                 cents[j] = X[cl == j].sum(axis=0) / (cl == j).sum()
     d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     expect = d2.argmin(axis=1)
-    assert got["cluster"].tolist() == expect.tolist()
+    # the distributed reduce sums per-block float partials in a different
+    # order than the whole-array reference, so allow disagreement ONLY
+    # where the best-two distance margin is within float noise
+    mism = got["cluster"].to_numpy() != expect
+    if mism.any():
+        margins = np.partition(d2[mism], 1, axis=1)
+        assert (margins[:, 1] - margins[:, 0] < 1e-6).all()
+    assert (~mism).mean() >= 0.98
     assert got["cluster"].nunique() > 1  # actually clusters
 
 
@@ -350,3 +360,23 @@ def test_trailing_window_random_vs_bruteforce(ray_session, tmp_path, seed):
         m = (df["user_id"].to_numpy() == u) & (ts_us >= t - HOUR) & (ts_us <= t)
         exp.append(int(cents[m].sum()))
     assert got["trail_cents"].tolist() == exp
+
+
+def test_semi_anti_null_keys_sql_semantics(ray_session):
+    """EXISTS/NOT EXISTS parity: a NULL key never matches — semi drops
+    NULL-key left rows, anti keeps them, and NULL right keys match
+    nothing (pandas NaN == NaN would say otherwise)."""
+    import ray.data
+    from katydid_haskell_ray.stages.join import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], type=pa.int64()),
+        "l": pa.array(["a", "b", "c"])}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([None, 3], type=pa.int64())}))
+    semi = hash_join(left, right, key="k", left_cols=["l"],
+                     right_cols=[], how="left_semi").to_pandas()
+    anti = hash_join(left, right, key="k", left_cols=["l"],
+                     right_cols=[], how="left_anti").to_pandas()
+    assert semi["l"].tolist() == ["c"]
+    assert sorted(anti["l"]) == ["a", "b"]

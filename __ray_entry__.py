@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_checksum_per_lang": Q.docs_checksum_per_lang,
         "embedding_centroids": Q.embedding_centroids,
         "kmeans_embeddings": Q.kmeans_embeddings,  # rows-only (iterative)
+        "props_filter_rows": Q.props_filter_rows,
     }
 
 
@@ -824,6 +825,12 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS m
                   FROM embeddings) t
             GROUP BY label, dim
+        """,
+        "props_filter_rows": """
+            SELECT event_id FROM events
+            WHERE COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) >= 10
+                   AND CAST(json_extract(props, '$.k') AS BIGINT) < 50,
+                   FALSE)
         """,
     }
 

@@ -1785,3 +1785,15 @@ def kmeans_embeddings(sf_dir: str, k: int = 4, iters: int = 3):
 
     cref = ray.put(cents)
     return ds.map_batches(assign_fn(cref), batch_format="pandas")
+
+
+def props_filter_rows(sf_dir: str):
+    """Relapse.filter analog through the public api surface: rows of the
+    events table whose JSON props match a concrete-syntax grammar — the
+    reference's main user entrypoint (Relapse.hs:63-70) as a one-liner
+    over a Dataset."""
+    from katydid_haskell_ray import api
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = api.filter(ds, "k: ->and(ge($int, 10), lt($int, 50))",
+                     json_col="props")
+    return out.select_columns(["event_id"])

@@ -380,3 +380,50 @@ def test_semi_anti_null_keys_sql_semantics(ray_session):
                      right_cols=[], how="left_anti").to_pandas()
     assert semi["l"].tolist() == ["c"]
     assert sorted(anti["l"]) == ["a", "b"]
+
+
+def test_api_surface_validate_and_filter(ray_session):
+    """The Relapse.parse/validate/filter Dataset-level API: all three
+    grammar input forms, both flat and JSON modes, fallback path."""
+    import ray.data
+    from katydid_haskell_ray import api
+
+    flat = ray.data.from_arrow(pa.table({
+        "w": pa.array([1, 0, 5, None], type=pa.int64())}))
+    doc = {"main": {"field": "w", "child": {"leaf": {
+        "func": "ge", "args": [{"var": "int"}, {"int": 1}]}}}}
+
+    # dict form, flat lowered path
+    v = api.validate(flat, doc, concurrency=1).to_pandas()
+    assert v["pass"].tolist() == [True, False, True, False]
+    kept = api.filter(flat, doc, concurrency=1).to_pandas()
+    assert kept["w"].tolist() == [1, 5]
+
+    # compiled-Grammar form gives the same answer
+    g = api.compile(doc)
+    v2 = api.validate(flat, g, concurrency=1).to_pandas()
+    assert v2["pass"].tolist() == v["pass"].tolist()
+
+    # concrete-syntax string + JSON column mode
+    js = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "p": pa.array(['{"k": 20}', '{"k": 99}', 'not json'])}))
+    out = api.filter(js, "k: ->and(ge($int, 10), lt($int, 50))",
+                     json_col="p", concurrency=1).to_pandas()
+    assert out["id"].tolist() == [1]
+
+    # NOT-lowerable grammar (non-trailing zany-star in a concat) must take
+    # the per-actor MemDeriver fallback and still agree with the oracle
+    from katydid_haskell_ray import colplan as CP
+    from katydid_haskell_ray.api import _FlatValidator
+    two = pa.table({"a": pa.array([1, 7], type=pa.int64()),
+                    "b": pa.array([2, 3], type=pa.int64())})
+    gr = {"main": {"concat": [{"star": "zany"}, {"field": "b", "child": {
+        "leaf": {"func": "eq", "args": [{"var": "int"}, {"int": 2}]}}}]}}
+    fv = _FlatValidator(gr, "pass")
+    res = fv(two).column("pass").to_pylist()
+    assert fv._lowerable is False  # actually exercised the fallback
+    assert res == [True, False]
+    two_ds = ray.data.from_arrow(two)
+    got = api.validate(two_ds, gr, concurrency=1).to_pandas()
+    assert got["pass"].tolist() == [True, False]

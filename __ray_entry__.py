@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": Q.embedding_centroids,
         "kmeans_embeddings": Q.kmeans_embeddings,  # rows-only (iterative)
         "props_filter_rows": Q.props_filter_rows,
+        "events_prev_value": Q.events_prev_value,
+        "events_value_mad": Q.events_value_mad,
     }
 
 
@@ -831,6 +833,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) >= 10
                    AND CAST(json_extract(props, '$.k') AS BIGINT) < 50,
                    FALSE)
+        """,
+        "events_prev_value": """
+            SELECT event_id, user_id,
+                   CAST(lag(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS prev_cents
+            FROM events
+        """,
+        "events_value_mad": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_cents
+                  FROM c GROUP BY event_type),
+            d AS (SELECT c.event_type, abs(c.cents - m.med_cents) AS dev,
+                         m.med_cents
+                  FROM c JOIN m USING (event_type))
+            SELECT event_type,
+                   CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_cents,
+                   CAST(any_value(med_cents) AS BIGINT) AS med_cents
+            FROM d GROUP BY event_type
         """,
     }
 

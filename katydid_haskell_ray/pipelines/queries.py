@@ -1797,3 +1797,71 @@ def props_filter_rows(sf_dir: str):
     out = api.filter(ds, "k: ->and(ge($int, 10), lt($int, 50))",
                      json_col="props")
     return out.select_columns(["event_id"])
+
+
+def events_prev_value(sf_dir: str):
+    """LAG window function: each event's previous cents value for the same
+    user in (ts, event_id) order, NULL for the first — one user-bucketed
+    exchange, vectorized shift inside."""
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_buckets = 32
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(_cents(
+                t.column("value").to_numpy(zero_copy_only=False)))})
+
+    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["cents"].shift(1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            # pandas nullable Int64 -> arrow int64-with-null (the oracle's
+            # LAG NULL), not a float NaN column
+            "prev_cents": pd.array(prev, dtype="Int64")})
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
+def events_value_mad(sf_dir: str):
+    """Median absolute deviation per event type — a two-pass quantile
+    composition: exact grouped median (histogram exchange) -> broadcast
+    the tiny per-type medians -> exact grouped median of |x - med|.
+    The raw stream is scanned twice, shuffled never (histograms are
+    per-(group, value) combiner partials)."""
+    from katydid_haskell_ray.stages import quantiles as QT
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                             "cents": _cents(b["value"].to_numpy())})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    med = QT.grouped_quantiles_from_histogram(
+        QT.grouped_value_histogram(prepped, "event_type", "cents"),
+        "event_type", {50: 0.5}, value_name="med_cents")
+    med_map = dict(zip(med["event_type"], med["med_cents"].astype(np.int64)))
+    mref = ray.put(med_map)
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mref)
+        m = b["event_type"].map(mm).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                             "dev": np.abs(b["cents"].to_numpy() - m)})
+
+    mad = QT.grouped_quantiles_from_histogram(
+        QT.grouped_value_histogram(prepped.map_batches(
+            dev, batch_format="pandas"), "event_type", "dev"),
+        "event_type", {50: 0.5}, value_name="mad_cents")
+    out = mad.drop(columns=["q_pct"]).merge(
+        med.drop(columns=["q_pct"]), on="event_type")
+    return out.astype({"mad_cents": np.int64, "med_cents": np.int64})

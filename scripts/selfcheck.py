@@ -36,6 +36,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df.columns = [str(c) for c in df.columns]
     df = df[sorted(df.columns)]
     for c in df.columns:
+        if str(df[c].dtype) in ("Int64", "Int32", "UInt64", "UInt32"):
+            # arrow int-with-null round-trips as a pandas extension dtype;
+            # normalize to float64 (what DuckDB .df() gives for nullable
+            # BIGINT) so both sides hash identically
+            df[c] = df[c].astype("float64")
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):

@@ -248,12 +248,15 @@ def run_validation(images_path: str, out_dir: str, *,
                    drift_threshold: float = 0.1,
                    check_roundtrip: bool = False,
                    caption_vocab=None,
-                   decode_concurrency: int | None = None) -> dict:
+                   decode_concurrency: int | None = None,
+                   incremental: bool = False) -> dict:
     """Run the full validation; returns the summary report dict.
 
     Resumable: re-invoking with the same out_dir skips shards whose manifest
     records are complete and recomputes the report from all shards' verdict
-    parquet.
+    parquet.  Shards are keyed by CONTENT (hash of the file list);
+    ``incremental=True`` shards one-per-file so an append-only input dir
+    re-processes only the new files on each run (micro-batch ingestion).
 
     Shard sizing: by input BYTES (default 256 MiB per shard), not a fixed
     count — at 100 TB that yields ~400k resumable units whose per-job fixed
@@ -264,19 +267,29 @@ def run_validation(images_path: str, out_dir: str, *,
 
     t0 = time.time()
     files = _input_files(images_path)
-    if n_shards is None:
-        total = sum(os.path.getsize(f) for f in files)
-        n_shards = max(1, min(len(files), -(-total // target_shard_bytes)))
-    shards = M.split_shards(files, n_shards)
+    if incremental:
+        # one shard per input file, keyed by content: appended files become
+        # NEW shards; every existing shard's manifest record and output
+        # stay valid — true incremental ingestion over an append-only dir
+        shards = [[f] for f in sorted(files)]
+    else:
+        if n_shards is None:
+            total = sum(os.path.getsize(f) for f in files)
+            n_shards = max(1, min(len(files), -(-total // target_shard_bytes)))
+        shards = M.split_shards(files, n_shards)
+    keys = [M.shard_key(sf) for sf in shards]
+    by_key = dict(zip(keys, shards))
     # A shard is resumable ONLY when its recorded lineage matches the current
-    # split — if the input file set or shard count changed, the stale output
-    # must be recomputed, not silently reused.
-    done = {sid: rec
-            for sid, rec in (M.completed_shards(out_dir) if resume else {}).items()
-            if sid < len(shards) and rec.get("input_files") == shards[sid]}
+    # split; shards are keyed by CONTENT (hash of the file list), so a
+    # re-sharding produces new keys (recompute) while unchanged groups keep
+    # their records even if other files were added or removed.
+    completed = M.completed_shards(out_dir) if resume else {}
+    done = {k for k in keys
+            if completed.get(k, {}).get("input_files") == by_key[k]}
     os.makedirs(out_dir, exist_ok=True)
+    M.prune_stale(out_dir, keys)
 
-    def run_shard(sid: int, shard_files: list[str]):
+    def run_shard(sid: str, shard_files: list[str]):
         started = time.time()
         M.clear_shard_output(out_dir, sid)
         vds = verdict_dataset(shard_files, checks,
@@ -304,7 +317,7 @@ def run_validation(images_path: str, out_dir: str, *,
     # run shard jobs concurrently (bounded): the streaming executor fair-
     # shares the cluster, so per-job fixed latency overlaps instead of
     # accumulating serially; the manifest stays per-shard atomic
-    todo = [(sid, sf) for sid, sf in enumerate(shards) if sid not in done]
+    todo = [(k, sf) for k, sf in zip(keys, shards) if k not in done]
     if len(todo) <= 1:
         for sid, sf in todo:
             run_shard(sid, sf)
@@ -320,8 +333,8 @@ def run_validation(images_path: str, out_dir: str, *,
     # tagged partial stream is materialized once, then the stats merge
     # (driver) and the uniqueness groupby (shuffle of partials only) both
     # read from it — no re-read of the verdict parquet per check.
-    verdict_glob = [f for sid in range(len(shards))
-                    for f in _input_files(M.shard_output_dir(out_dir, sid))]
+    verdict_glob = [f for k in keys
+                    for f in _input_files(M.shard_output_dir(out_dir, k))]
     import pyarrow.dataset as _pads
     check_cols = [f.name for f in _pads.dataset(verdict_glob[0]).schema
                   if f.name.startswith("check_")]
@@ -462,11 +475,12 @@ def run_validation(images_path: str, out_dir: str, *,
     n_viol_rows = _parquet_num_rows(
         _input_files(os.path.join(out_dir, "violations")))
 
-    # restrict the summation to the CURRENT split's shard ids — stale
-    # manifests from a previous run with a different shard count must not
-    # leak into the totals
+    # restrict the summation to the CURRENT split's shard keys — stale
+    # manifests from a previous run with a different sharding must not
+    # leak into the totals (prune_stale also removed them from disk)
+    key_set = set(keys)
     final = {sid: r for sid, r in M.completed_shards(out_dir).items()
-             if sid < len(shards)}
+             if sid in key_set}
     n_rows = sum(r["n_rows"] for r in final.values())
     n_fail = sum(r["n_violations"] for r in final.values())
     report = {

@@ -28,8 +28,24 @@ def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
 
-def shard_record_path(out_dir: str, shard_id: int) -> str:
-    return os.path.join(manifest_dir(out_dir), f"shard-{shard_id:05d}.json")
+def shard_key(files: list[str]) -> str:
+    """CONTENT identity of a shard — a short hash of its (sorted-stable)
+    input file list.  Keying outputs and manifest records by content
+    instead of position makes resume append-friendly: adding new input
+    files creates NEW shard keys while every existing shard's record and
+    output stay valid (a positional id would shift and invalidate them)."""
+    import hashlib
+    return hashlib.sha1("\n".join(files).encode()).hexdigest()[:12]
+
+
+def _fmt(shard_id) -> str:
+    # int ids (legacy/positional) format zero-padded; content keys pass
+    # through — both live in the same namespaces
+    return f"{shard_id:05d}" if isinstance(shard_id, int) else str(shard_id)
+
+
+def shard_record_path(out_dir: str, shard_id) -> str:
+    return os.path.join(manifest_dir(out_dir), f"shard-{_fmt(shard_id)}.json")
 
 
 def completed_shards(out_dir: str) -> dict[int, dict]:
@@ -73,15 +89,41 @@ def write_shard_record(out_dir: str, shard_id: int, *, input_files: list[str],
     return rec
 
 
-def clear_shard_output(out_dir: str, shard_id: int):
+def clear_shard_output(out_dir: str, shard_id):
     """Remove a shard's (possibly partial) output before re-running it."""
-    shard_out = os.path.join(out_dir, f"shard={shard_id:05d}")
+    shard_out = shard_output_dir(out_dir, shard_id)
     if os.path.isdir(shard_out):
         shutil.rmtree(shard_out)
 
 
-def shard_output_dir(out_dir: str, shard_id: int) -> str:
-    return os.path.join(out_dir, f"shard={shard_id:05d}")
+def shard_output_dir(out_dir: str, shard_id) -> str:
+    return os.path.join(out_dir, f"shard={_fmt(shard_id)}")
+
+
+def prune_stale(out_dir: str, current_ids) -> int:
+    """Delete shard outputs and manifest records whose id/key is not in
+    the CURRENT split — stale leftovers from a previous run with a
+    different sharding.  Totals and the table-level layer only read
+    current ids, so pruning is a disk-hygiene step, not a correctness
+    one.  Returns the number of entries removed."""
+    keep = {_fmt(i) for i in current_ids}
+    removed = 0
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("shard=") and name.split("=", 1)[1] not in keep:
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+                removed += 1
+    md = manifest_dir(out_dir)
+    if os.path.isdir(md):
+        for name in os.listdir(md):
+            if (name.startswith("shard-") and name.endswith(".json")
+                    and name[len("shard-"):-len(".json")] not in keep):
+                try:
+                    os.remove(os.path.join(md, name))
+                    removed += 1
+                except OSError:
+                    pass
+    return removed
 
 
 def split_shards(files: list[str], n_shards: int) -> list[list[str]]:

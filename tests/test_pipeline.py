@@ -194,3 +194,40 @@ def test_resume_invalidated_by_lineage_change(ray_session, tmp_path):
     pq.write_table(SI.make_batch(1200, 1500), img / "p2.parquet")
     rep3 = V.run_validation(str(img), str(out), n_shards=2)
     assert rep3["n_rows"] == 1500
+
+
+def test_incremental_append_only_processes_new_files(ray_session, tmp_path):
+    """incremental=True: content-keyed one-shard-per-file resume — adding
+    a file re-processes ONLY it; existing outputs are untouched."""
+    import glob
+    img = tmp_path / "imgs_inc"; img.mkdir()
+    pq.write_table(SI.make_batch(0, 500), img / "p0.parquet")
+    pq.write_table(SI.make_batch(500, 1000), img / "p1.parquet")
+    out = tmp_path / "out_inc"
+    rep = V.run_validation(str(img), str(out), incremental=True)
+    assert rep["n_rows"] == 1000
+    files = sorted(glob.glob(str(out / "shard=*/*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in files}
+
+    pq.write_table(SI.make_batch(1000, 1300), img / "p2.parquet")
+    rep2 = V.run_validation(str(img), str(out), incremental=True)
+    assert rep2["n_rows"] == 1300
+    for f, t in mtimes.items():  # the old shards were not rewritten
+        assert os.path.exists(f) and os.path.getmtime(f) == t, f
+    # three content-keyed shard records now
+    assert len(V.M.completed_shards(str(out))) == 3
+
+
+def test_prune_removes_stale_shard_outputs(ray_session, tmp_path):
+    img = tmp_path / "imgs_pr"; img.mkdir()
+    pq.write_table(SI.make_batch(0, 400), img / "p0.parquet")
+    pq.write_table(SI.make_batch(400, 800), img / "p1.parquet")
+    out = tmp_path / "out_pr"
+    V.run_validation(str(img), str(out), n_shards=2)
+    import glob
+    assert len(glob.glob(str(out / "shard=*"))) == 2
+    # re-shard 2 -> 1: the two old content keys are stale and pruned
+    rep = V.run_validation(str(img), str(out), n_shards=1)
+    assert rep["n_rows"] == 800
+    assert len(glob.glob(str(out / "shard=*"))) == 1
+    assert len(V.M.completed_shards(str(out))) == 1

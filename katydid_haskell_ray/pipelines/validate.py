@@ -255,8 +255,10 @@ def run_validation(images_path: str, out_dir: str, *,
     Resumable: re-invoking with the same out_dir skips shards whose manifest
     records are complete and recomputes the report from all shards' verdict
     parquet.  Shards are keyed by CONTENT (hash of the file list);
-    ``incremental=True`` shards one-per-file so an append-only input dir
-    re-processes only the new files on each run (micro-batch ingestion).
+    ``incremental=True`` keeps committed shards verbatim and groups only
+    not-yet-covered files into new byte-sized shards, so an append-only
+    input dir re-processes just the new bytes each run (micro-batch
+    ingestion without per-file job overhead).
 
     Shard sizing: by input BYTES (default 256 MiB per shard), not a fixed
     count — at 100 TB that yields ~400k resumable units whose per-job fixed
@@ -267,11 +269,35 @@ def run_validation(images_path: str, out_dir: str, *,
 
     t0 = time.time()
     files = _input_files(images_path)
+    if not files:
+        # refuse rather than prune: a transiently-empty listing (unmounted
+        # store, typo'd dir) must never wipe completed shard state
+        raise ValueError(f"no input files found under {images_path!r}")
     if incremental:
-        # one shard per input file, keyed by content: appended files become
-        # NEW shards; every existing shard's manifest record and output
-        # stay valid — true incremental ingestion over an append-only dir
-        shards = [[f] for f in sorted(files)]
+        if n_shards is not None:
+            raise ValueError("incremental=True sizes shards itself; "
+                             "omit n_shards")
+        # micro-batch ingestion over an append-only dir: shards already
+        # committed (record's files all still present) are KEPT verbatim —
+        # their content keys stay valid — and only files not covered by a
+        # kept record are grouped into new byte-sized shards.  Appending
+        # files therefore processes just the new bytes; deleting a file
+        # invalidates exactly the shards that contained it.
+        prior = M.completed_shards(out_dir) if resume else {}
+        fileset = set(files)
+        shards = []
+        covered: set[str] = set()
+        for rec in prior.values():
+            grp = rec.get("input_files") or []
+            if grp and set(grp) <= fileset and not (set(grp) & covered):
+                shards.append(grp)
+                covered |= set(grp)
+        new_files = sorted(f for f in fileset - covered)
+        if new_files:
+            total = sum(os.path.getsize(f) for f in new_files)
+            n_new = max(1, min(len(new_files),
+                               -(-total // target_shard_bytes)))
+            shards += M.split_shards(new_files, n_new)
     else:
         if n_shards is None:
             total = sum(os.path.getsize(f) for f in files)

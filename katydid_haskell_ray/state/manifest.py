@@ -29,18 +29,20 @@ def manifest_dir(out_dir: str) -> str:
 
 
 def shard_key(files: list[str]) -> str:
-    """CONTENT identity of a shard — a short hash of its (sorted-stable)
-    input file list.  Keying outputs and manifest records by content
-    instead of position makes resume append-friendly: adding new input
-    files creates NEW shard keys while every existing shard's record and
-    output stay valid (a positional id would shift and invalidate them)."""
+    """CONTENT identity of a shard — a hash of its (sorted-stable) input
+    file list.  Keying outputs and manifest records by content instead of
+    position makes resume append-friendly: adding new input files creates
+    NEW shard keys while every existing shard's record and output stay
+    valid (a positional id would shift and invalidate them).  80 bits: at
+    the documented 400k-shard scale (and even 10^8 incremental shards)
+    birthday collisions are < 1e-8."""
     import hashlib
-    return hashlib.sha1("\n".join(files).encode()).hexdigest()[:12]
+    return hashlib.sha1("\n".join(files).encode()).hexdigest()[:20]
 
 
 def _fmt(shard_id) -> str:
-    # int ids (legacy/positional) format zero-padded; content keys pass
-    # through — both live in the same namespaces
+    # the pipeline passes string content keys; the int branch remains for
+    # direct/legacy callers and tests that address shards positionally
     return f"{shard_id:05d}" if isinstance(shard_id, int) else str(shard_id)
 
 
@@ -48,8 +50,9 @@ def shard_record_path(out_dir: str, shard_id) -> str:
     return os.path.join(manifest_dir(out_dir), f"shard-{_fmt(shard_id)}.json")
 
 
-def completed_shards(out_dir: str) -> dict[int, dict]:
-    """Shard id -> manifest record for all completed shards."""
+def completed_shards(out_dir: str) -> dict:
+    """Shard id/key -> manifest record for all completed shards (ids are
+    content-key strings from run_validation; ints from legacy callers)."""
     d = manifest_dir(out_dir)
     out = {}
     if not os.path.isdir(d):
@@ -66,7 +69,7 @@ def completed_shards(out_dir: str) -> dict[int, dict]:
     return out
 
 
-def write_shard_record(out_dir: str, shard_id: int, *, input_files: list[str],
+def write_shard_record(out_dir: str, shard_id, *, input_files: list[str],
                        n_rows: int, n_violations: int, metrics: dict,
                        started: float) -> dict:
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
@@ -116,7 +119,14 @@ def prune_stale(out_dir: str, current_ids) -> int:
     md = manifest_dir(out_dir)
     if os.path.isdir(md):
         for name in os.listdir(md):
-            if (name.startswith("shard-") and name.endswith(".json")
+            if name.startswith("shard-") and name.endswith(".json.tmp"):
+                # torn write_shard_record leftovers: always safe to drop
+                try:
+                    os.remove(os.path.join(md, name))
+                    removed += 1
+                except OSError:
+                    pass
+            elif (name.startswith("shard-") and name.endswith(".json")
                     and name[len("shard-"):-len(".json")] not in keep):
                 try:
                     os.remove(os.path.join(md, name))

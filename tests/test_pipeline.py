@@ -197,8 +197,8 @@ def test_resume_invalidated_by_lineage_change(ray_session, tmp_path):
 
 
 def test_incremental_append_only_processes_new_files(ray_session, tmp_path):
-    """incremental=True: content-keyed one-shard-per-file resume — adding
-    a file re-processes ONLY it; existing outputs are untouched."""
+    """incremental=True: committed content-keyed shards are kept verbatim;
+    appended files form a NEW shard and only its bytes are processed."""
     import glob
     img = tmp_path / "imgs_inc"; img.mkdir()
     pq.write_table(SI.make_batch(0, 500), img / "p0.parquet")
@@ -206,16 +206,24 @@ def test_incremental_append_only_processes_new_files(ray_session, tmp_path):
     out = tmp_path / "out_inc"
     rep = V.run_validation(str(img), str(out), incremental=True)
     assert rep["n_rows"] == 1000
+    assert len(V.M.completed_shards(str(out))) == 1  # byte-sized group
     files = sorted(glob.glob(str(out / "shard=*/*.parquet")))
     mtimes = {f: os.path.getmtime(f) for f in files}
 
     pq.write_table(SI.make_batch(1000, 1300), img / "p2.parquet")
     rep2 = V.run_validation(str(img), str(out), incremental=True)
     assert rep2["n_rows"] == 1300
-    for f, t in mtimes.items():  # the old shards were not rewritten
+    for f, t in mtimes.items():  # the old shard was not rewritten
         assert os.path.exists(f) and os.path.getmtime(f) == t, f
-    # three content-keyed shard records now
-    assert len(V.M.completed_shards(str(out))) == 3
+    # kept shard + one new shard for the appended file
+    assert len(V.M.completed_shards(str(out))) == 2
+    # n_shards is refused in incremental mode, empty input never prunes
+    with pytest.raises(ValueError):
+        V.run_validation(str(img), str(out), incremental=True, n_shards=2)
+    empty = tmp_path / "imgs_none"; empty.mkdir()
+    with pytest.raises(ValueError):
+        V.run_validation(str(empty), str(out), incremental=True)
+    assert len(V.M.completed_shards(str(out))) == 2  # state untouched
 
 
 def test_prune_removes_stale_shard_outputs(ray_session, tmp_path):

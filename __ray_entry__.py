@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_filter_rows": Q.props_filter_rows,
         "events_prev_value": Q.events_prev_value,
         "events_value_mad": Q.events_value_mad,
+        "events_user_rank": Q.events_user_rank,
     }
 
 
@@ -855,6 +856,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_cents,
                    CAST(any_value(med_cents) AS BIGINT) AS med_cents
             FROM d GROUP BY event_type
+        """,
+        "events_user_rank": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY floor(value * 100) DESC, event_id)
+                       AS BIGINT) AS rn,
+                   CAST(dense_rank() OVER (PARTITION BY user_id
+                       ORDER BY floor(value * 100) DESC) AS BIGINT) AS dr,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                       ORDER BY floor(value * 100) DESC, event_id)
+                       AS BIGINT) AS tile
+            FROM events
         """,
     }
 

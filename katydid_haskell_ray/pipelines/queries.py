@@ -1865,3 +1865,46 @@ def events_value_mad(sf_dir: str):
     out = mad.drop(columns=["q_pct"]).merge(
         med.drop(columns=["q_pct"]), on="event_type")
     return out.astype({"mad_cents": np.int64, "med_cents": np.int64})
+
+
+def events_user_rank(sf_dir: str):
+    """Ranking window family in one bucketed pass: row_number (unique
+    order), dense_rank (value ties share+compact), and ntile(4) per user
+    over descending cents — all vectorized pandas rank/arith inside the
+    user-hash bucket (a user never spans buckets)."""
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    n_buckets = 32
+    N_TILES = 4
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
+                             "user_id": b["user_id"].to_numpy(),
+                             "cents": _cents(b["value"].to_numpy())})
+
+    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "cents", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        rn = grp.cumcount().to_numpy() + 1
+        dr = grp["cents"].rank(method="dense", ascending=False) \
+            .to_numpy(dtype=np.int64)
+        n = grp["cents"].transform("size").to_numpy()
+        # SQL NTILE(t): first n%t tiles get one extra row
+        t = N_TILES
+        rn0 = rn - 1
+        base, extra = n // t, n % t
+        big = extra * (base + 1)
+        tile = np.where(rn0 < big,
+                        rn0 // np.maximum(base + 1, 1),
+                        extra + (rn0 - big) // np.maximum(base, 1)) + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": g["user_id"].to_numpy(),
+                             "rn": rn.astype(np.int64), "dr": dr,
+                             "tile": tile.astype(np.int64)})
+
+    bucketed = (ds.map_batches(prep, batch_format="pandas")
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)

@@ -427,3 +427,25 @@ def test_api_surface_validate_and_filter(ray_session):
     two_ds = ray.data.from_arrow(two)
     got = api.validate(two_ds, gr, concurrency=1).to_pandas()
     assert got["pass"].tolist() == [True, False]
+
+
+def test_user_rank_ntile_edges(ray_session, tmp_path):
+    """NTILE when rows < tiles and when n % t != 0; dense_rank on ties."""
+    import pyarrow.parquet as pq
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "user_id": [1, 1, 1, 1, 1, 9, 9],
+        #            ties on 5.0 for user 1
+        "value": [9.0, 5.0, 5.0, 3.0, 1.0, 2.0, 2.0]})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    out = (Q.events_user_rank(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    u1 = out[out["user_id"] == 1]
+    assert u1["rn"].tolist() == [1, 2, 3, 4, 5]
+    assert u1["dr"].tolist() == [1, 2, 2, 3, 4]      # ties compact
+    # ntile(4) of 5 rows: sizes 2,1,1,1
+    assert u1["tile"].tolist() == [1, 1, 2, 3, 4]
+    u9 = out[out["user_id"] == 9]
+    assert u9["tile"].tolist() == [1, 2]             # n < tiles

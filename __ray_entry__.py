@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_value": Q.events_prev_value,
         "events_value_mad": Q.events_value_mad,
         "events_user_rank": Q.events_user_rank,
+        "users_per_type_approx": Q.users_per_type_approx,  # rows-only (HLL)
     }
 
 

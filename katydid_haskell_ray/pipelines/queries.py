@@ -1908,3 +1908,11 @@ def events_user_rank(sf_dir: str):
     bucketed = (ds.map_batches(prep, batch_format="pandas")
                 .map_batches(add_bucket, batch_format="pyarrow"))
     return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
+def users_per_type_approx(sf_dir: str):
+    """Approximate grouped distinct count (HLL per group) — rows-only:
+    estimates differ from COUNT(DISTINCT) by design; the pytest twin
+    bounds the relative error against the exact operator."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return K.grouped_approx_distinct(ds, "event_type", "user_id")

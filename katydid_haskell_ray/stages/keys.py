@@ -168,6 +168,54 @@ class BloomProbe:
         return batch.append_column(self.out_col, pa.array(ok))
 
 
+def grouped_approx_distinct(ds, group: str, key: str, p: int = 12,
+                            n_buckets: int = 32,
+                            out: str = "n_distinct_approx"):
+    """Approximate COUNT(DISTINCT key) per group via per-group HLL
+    sketches — the bounded-memory scale path for grouped distincts.
+
+    The exact path (grouped_distinct_count) shuffles O(distinct pairs);
+    with billions of distinct keys per group that exchange is the
+    dominant cost.  Here each batch builds one HLL per group it sees
+    (2^p bytes each), the pickled sketches shuffle on a group-hash bucket
+    (volume = blocks x groups-per-block x 2^p — independent of key
+    cardinality), and per-bucket register maxima merge them.  p=12 gives
+    ~1.6% relative error."""
+    import pickle
+
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gval, sub in b[[group, key]].dropna(subset=[key]) \
+                .groupby(group, dropna=False):
+            h = SK.hash64_array(pa.array(sub[key]))
+            rows.append({group: gval,
+                         "hll": pickle.dumps(
+                             SK.HLL(p).add_hashes(h), protocol=5)})
+        return pd.DataFrame(rows, columns=[group, "hll"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = SK.hash64_array(t.column(group)) % np.uint64(n_buckets)
+        return t.append_column("__bucket", pa.array(h.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outrows = []
+        for gval, sub in g.groupby(group, dropna=False):
+            acc = None
+            for blob in sub["hll"]:
+                sk = pickle.loads(blob)
+                acc = sk if acc is None else acc.merge(sk)
+            outrows.append({group: gval, out: int(round(acc.estimate()))})
+        return pd.DataFrame(outrows, columns=[group, out])
+
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    bucketed = (ds.select_columns([group, key])
+                .map_batches(partial, batch_format="pandas")
+                .map_batches(add_bucket, batch_format="pyarrow"))
+    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+
+
 def grouped_distinct_count(ds, group: str, key: str, n_buckets: int = 64,
                            out: str = "n_distinct"):
     """Exact COUNT(DISTINCT key) per group.

@@ -449,3 +449,24 @@ def test_user_rank_ntile_edges(ray_session, tmp_path):
     assert u1["tile"].tolist() == [1, 1, 2, 3, 4]
     u9 = out[out["user_id"] == 9]
     assert u9["tile"].tolist() == [1, 2]             # n < tiles
+
+
+def test_grouped_approx_distinct_error_bound(ray_session):
+    """Per-group HLL estimates within ~5% of exact at 20k keys/group."""
+    import ray.data
+    from katydid_haskell_ray.stages.keys import (grouped_approx_distinct,
+                                                 grouped_distinct_count)
+
+    rng = np.random.default_rng(11)
+    n = 120_000
+    grp = rng.integers(0, 3, n)
+    key = rng.integers(0, 20_000, n) + grp * 1_000_000  # distinct per grp
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(grp, type=pa.int64()),
+        "k": pa.array(key, type=pa.int64())})).repartition(8)
+    approx = (grouped_approx_distinct(ds, "g", "k").to_pandas()
+              .set_index("g")["n_distinct_approx"])
+    exact = grouped_distinct_count(ds, "g", "k").set_index("g")["n_distinct"]
+    for g in exact.index:
+        rel = abs(approx[g] - exact[g]) / exact[g]
+        assert rel < 0.05, (g, approx[g], exact[g])

@@ -1897,8 +1897,10 @@ def events_user_rank(sf_dir: str):
         rn0 = rn - 1
         base, extra = n // t, n % t
         big = extra * (base + 1)
+        # only the false branch can divide by zero (base = 0 iff n < t,
+        # and then every row satisfies rn0 < big so that branch is unused)
         tile = np.where(rn0 < big,
-                        rn0 // np.maximum(base + 1, 1),
+                        rn0 // (base + 1),
                         extra + (rn0 - big) // np.maximum(base, 1)) + 1
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "user_id": g["user_id"].to_numpy(),

@@ -77,6 +77,11 @@ def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
         if not good:
             return _EMPTY  # Ray's empty-block convention: skip the UDF
         tab = pa.concat_tables(good, promote_options="default")
+        if tab.num_rows == 0:
+            # skip the UDF on 0-row buckets too: per-bucket fns would have
+            # to rebuild typed empty frames by hand, and an untyped empty
+            # output degrades the Dataset's unified schema to null columns
+            return _EMPTY
         if batch_format == "pandas":
             out = fn(tab.to_pandas())
             return pa.Table.from_pandas(out, preserve_index=False)

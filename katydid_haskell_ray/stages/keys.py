@@ -195,10 +195,6 @@ def grouped_approx_distinct(ds, group: str, key: str, p: int = 12,
                              SK.HLL(p).add_hashes(h), protocol=5)})
         return pd.DataFrame(rows, columns=[group, "hll"])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = SK.hash64_array(t.column(group)) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(h.astype(np.int32)))
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outrows = []
         for gval, sub in g.groupby(group, dropna=False):
@@ -212,7 +208,8 @@ def grouped_approx_distinct(ds, group: str, key: str, p: int = 12,
     from katydid_haskell_ray.stages.exchange import bucket_map_groups
     bucketed = (ds.select_columns([group, key])
                 .map_batches(partial, batch_format="pandas")
-                .map_batches(add_bucket, batch_format="pyarrow"))
+                .map_batches(add_bucket_fn(group, n_buckets, "__bucket"),
+                             batch_format="pyarrow"))
     return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
 
 

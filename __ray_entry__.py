@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_verdicts": Q.images_verdicts,
         "images_grammar_verdicts": Q.images_grammar_verdicts,
         "images_caption_grammar": Q.images_caption_grammar,
+        "images_bytes_grammar": Q.images_bytes_grammar,
         "images_check_failures": Q.images_check_failures,
         "images_caption_ref": Q.images_caption_ref,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
@@ -154,8 +155,11 @@ _CHECK_SQL = {
     "caption_present": "COALESCE(length(caption) > 0, FALSE)",
     "caption_len": "COALESCE(length(caption) <= 256, FALSE)",
     "caption_ascii": "COALESCE(regexp_matches(caption, '^[ -~]*$'), FALSE)",
-    "bytes_min": "COALESCE(octet_length(bytes) > 8, FALSE)",
 }
+# the byte-payload check is oracled separately (images_bytes_grammar): the
+# metadata queries prune the ``bytes`` column out of their reads, mirroring
+# validate.METADATA_CHECKS vs DEFAULT_CHECKS
+_BYTES_CHECK_SQL = "COALESCE(octet_length(bytes) > 8, FALSE)"
 
 _AUG_DOCS = """
     SELECT doc_id, text FROM documents
@@ -623,13 +627,15 @@ def oracle_sql() -> dict[str, str]:
         "images_grammar_verdicts": f"""
             SELECT image_id,
                    (COALESCE(image_id LIKE 'img-%', FALSE)
-                    AND COALESCE(octet_length(bytes) > 8, FALSE)
                     AND COALESCE(w >= 1 AND w <= 16384, FALSE)
                     AND COALESCE(h >= 1 AND h <= 16384, FALSE)
                     AND COALESCE(fmt IN ('png', 'bmp', 'jpeg'), FALSE)
                     AND COALESCE(caption <> '', FALSE)
                     AND COALESCE(phash <> 0, FALSE)) AS pass
             FROM {_IMAGES}
+        """,
+        "images_bytes_grammar": f"""
+            SELECT image_id, {_BYTES_CHECK_SQL} AS pass FROM {_IMAGES}
         """,
         "doc_quality_gopher": r"""
             WITH tok AS (

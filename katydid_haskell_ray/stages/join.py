@@ -1,7 +1,9 @@
 """Joins for two LARGE sides (no broadcastable dimension).
 
 Ray Data's own ``Dataset.join`` is version-dependent; the portable pattern
-(ray_guide "Joins and lookups") is an explicit partitioned hash join:
+(SURVEY.md §7 — hash-partition both sides, merge per bucket; cf.
+https://docs.ray.io/en/latest/data/transforming-data.html) is an explicit
+partitioned hash join:
 
 1. project both sides to the join key + needed columns (never ship payload);
 2. tag each side and add ``bucket = hash(key) % B``;

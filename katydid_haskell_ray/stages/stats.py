@@ -1,6 +1,7 @@
 """Table-level statistics via per-batch partials + mergeable sketches.
 
-The scale pattern (SURVEY.md §2.6 / ray_guide "Aggregation at scale"):
+The scale pattern (SURVEY.md §2.6; cf. Ray Data aggregation docs,
+https://docs.ray.io/en/latest/data/aggregating-data.html):
 ``map_batches`` emits ONE tiny partial row per (batch, column) — count,
 nulls, min, max, sum plus pickled HLL/KLL sketches — and the driver merges
 the partials (a few KB each).  The full data never crosses the shuffle

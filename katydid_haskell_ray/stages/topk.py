@@ -28,7 +28,8 @@ def topk_rows(ds, *, k: int, by: list[str], ascending: list[bool],
 
 
 def grouped_topk(ds, *, group_cols: list[str], k: int, by: list[str],
-                 ascending: list[bool], n_buckets: int = 64):
+                 ascending: list[bool], n_buckets: int = 64,
+                 rank_col: str | None = None):
     """Per-group top-k (the ROW_NUMBER() <= k window pattern) without a
     total sort: a per-batch combiner keeps each group's local top-k, then
     a group-hash bucketed exchange takes the final head per group — scales
@@ -51,9 +52,16 @@ def grouped_topk(ds, *, group_cols: list[str], k: int, by: list[str],
             (h % np.uint64(n_buckets)).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.drop(columns="__bucket")
-                .sort_values(by, ascending=ascending, kind="mergesort")
-                .groupby(group_cols, sort=False, dropna=False).head(k))
+        out = (g.drop(columns="__bucket")
+               .sort_values(by, ascending=ascending, kind="mergesort")
+               .groupby(group_cols, sort=False, dropna=False).head(k))
+        if rank_col is not None:
+            # every group lives wholly inside one bucket, so the 1..k
+            # ROW_NUMBER() is computable here without another exchange
+            out = out.copy()
+            out[rank_col] = (out.groupby(group_cols, sort=False, dropna=False)
+                             .cumcount().to_numpy() + 1)
+        return out
 
     partials = ds.map_batches(local, batch_format="pandas").map_batches(
         add_bucket, batch_format="pyarrow")

@@ -1,7 +1,8 @@
 """Stream-shaped operators over the events table.
 
-Ray Data is a batch engine with no event-time watermarks (ray_guide
-"Streaming-shaped workloads"); windows are expressed as plain columns +
+Ray Data is a batch engine with no event-time watermarks
+(https://docs.ray.io/en/latest/data/data-internals.html — streaming
+*execution*, not streaming *semantics*); windows are expressed as plain columns +
 groupbys, sessions as per-key sorted map_groups.  Both forms are exactly
 SQL-expressible for the oracle.
 """

@@ -309,13 +309,17 @@ def test_kmeans_matches_numpy_reference(ray_session, sf_dir):
     X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     k, iters = 4, 3
     cents = X[:k].copy()
+
+    def d2_of(X, c):  # the exact expression of queries._kmeans_d2
+        return ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ c.T)
+                + (c * c).sum(axis=1)[None, :])
+
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        cl = d2.argmin(axis=1)
+        cl = d2_of(X, cents).argmin(axis=1)
         for j in range(k):
             if (cl == j).any():
                 cents[j] = X[cl == j].sum(axis=0) / (cl == j).sum()
-    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    d2 = d2_of(X, cents)
     expect = d2.argmin(axis=1)
     # the distributed reduce sums per-block float partials in a different
     # order than the whole-array reference, so allow disagreement ONLY

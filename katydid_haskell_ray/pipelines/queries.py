@@ -78,6 +78,20 @@ def grouped_sum(ds, keys: list[str], sums: dict[str, str],
                               list(keys), n_buckets=n_buckets)
 
 
+def _auto_exchange(bucketed, per_bucket, batch_format: str = "pandas"):
+    """Raw-row keyed exchange with DATA-DERIVED bucket count: ``bucketed``
+    carries a full-range uint64 hash in __bucket (keys.add_hash_fn);
+    resolve_exchange sizes n_buckets from the materialized bytes (~256 MB
+    per reduce task) and the byte bound is asserted in the reduce — a
+    constant bucket count would make one bucket = total/N at 100x."""
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    mat, nb, max_b = resolve_exchange(bucketed)
+    return bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b,
+                             batch_format=batch_format)
+
+
 def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100).astype(np.int64)
 
@@ -690,7 +704,6 @@ def images_phash_neardups(sf_dir: str):
     through the bucketed exchange, then the pigeonhole Hamming operator
     over the distinct fingerprints (near-uniform -> bounded groups), then
     counts re-attached by hash join."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     from katydid_haskell_ray.stages.join import hash_join
 
     ds = ray.data.read_parquet(images_parquet(sf_dir), columns=["phash"])
@@ -698,15 +711,15 @@ def images_phash_neardups(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         df = (b.to_pandas().groupby("phash", as_index=False)
               .size().rename(columns={"size": "n"}))
-        bk = (df["phash"].to_numpy().view(np.uint64)
-              % np.uint64(64)).astype(np.int32)
+        # full-range hash column: the distinct-fp partial stream grows
+        # with data, so the exchange's bucket count is data-derived
+        bk = df["phash"].to_numpy().view(np.uint64)
         return pa.Table.from_pandas(df.assign(__bucket=bk),
                                     preserve_index=False)
 
-    fps = bucket_map_groups(
+    fps = _auto_exchange(
         ds.map_batches(partial, batch_format="pyarrow"),
-        lambda g: g.groupby("phash", as_index=False)["n"].sum(),
-        n_buckets=64).materialize()
+        lambda g: g.groupby("phash", as_index=False)["n"].sum()).materialize()
 
     with_fp = fps.map_batches(
         lambda t: t.select(["phash"]).append_column("fp", t.column("phash")),
@@ -1350,17 +1363,13 @@ def caption_dup_xphash(sf_dir: str):
     """Captions attached to >1 distinct phash (same text, different image)
     — grouped distinct-count + total count in ONE caption-hash bucketed
     exchange over (caption, phash, n) combiner partials."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = ray.data.read_parquet(images_parquet(sf_dir),
                                columns=["caption", "phash"])
-    n_buckets = 64
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["caption"].notna()]
         return (b.groupby(["caption", "phash"], as_index=False, dropna=False)
                 .size().rename(columns={"size": "n"}))
-
-    add_bucket = K.add_bucket_fn("caption", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby("caption", as_index=False)
@@ -1368,9 +1377,11 @@ def caption_dup_xphash(sf_dir: str):
         out = out[out["n_phash"] > 1]
         return out.astype({"n_phash": np.int64, "n_rows": np.int64})
 
+    # the (caption, phash) partial stream is near-raw-row on dup-light
+    # data, so the bucket count is data-derived, not constant
     bucketed = (ds.map_batches(partial, batch_format="pandas")
-                .map_batches(add_bucket, batch_format="pyarrow"))
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+                .map_batches(K.add_hash_fn("caption"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
 
 
 def parts_semi_heavy(sf_dir: str):
@@ -1416,17 +1427,13 @@ def events_gap_quantiles(sf_dir: str):
     grouped quantile_disc, fused into ONE user-bucketed exchange (a user
     never spans buckets, so gaps AND the per-user quantile index are
     computed in the same vectorized per-bucket pass)."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    n_buckets = 32
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({
             "event_id": t.column("event_id"),
             "user_id": t.column("user_id"),
             "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())})
-
-    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -1445,8 +1452,8 @@ def events_gap_quantiles(sf_dir: str):
                 .reset_index(drop=True))
 
     bucketed = (ds.map_batches(prep, batch_format="pyarrow")
-                .map_batches(add_bucket, batch_format="pyarrow"))
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+                .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
 
 
 def lang_top_docs_concat(sf_dir: str):
@@ -1470,11 +1477,7 @@ def docs_percent_rank(sf_dir: str):
     ties (rank_min), (r-1)/(N-1) in double, floored to micro.  One
     lang-bucketed exchange; ranking is a vectorized pandas pass per
     bucket (a lang never spans buckets)."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    n_buckets = 16
-
-    add_bucket = K.add_bucket_fn("lang", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         r = g.groupby("lang", sort=False)["n_chars"].rank(method="min")
@@ -1486,17 +1489,18 @@ def docs_percent_rank(sf_dir: str):
                              "lang": g["lang"].to_numpy(),
                              "pr_micro": _micros(pr)})
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+    # NOTE: ~10 distinct langs caps useful parallelism regardless of the
+    # bucket count — an inherently skewed partition key (documented); the
+    # byte-bound assert is what catches it if a lang outgrows one task
+    bucketed = ds.map_batches(K.add_hash_fn("lang"), batch_format="pyarrow")
+    return _auto_exchange(bucketed, per_bucket)
 
 
 def events_cumsum(sf_dir: str):
     """Running total per user (SUM OVER ROWS UNBOUNDED PRECEDING, ordered
     by ts then event_id) — per-row floor-cents first so integer cumsum is
     exact, one user-bucketed exchange, C-speed groupby-cumsum inside."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    n_buckets = 32
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1506,16 +1510,14 @@ def events_cumsum(sf_dir: str):
             "cents": pa.array(_cents(
                 t.column("value").to_numpy(zero_copy_only=False)))})
 
-    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         g["cum_cents"] = g.groupby("user_id", sort=False)["cents"].cumsum()
         return g[["event_id", "user_id", "cum_cents"]].reset_index(drop=True)
 
     bucketed = (ds.map_batches(prep, batch_format="pyarrow")
-                .map_batches(add_bucket, batch_format="pyarrow"))
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+                .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
 
 
 def lang_tfidf_terms(sf_dir: str):
@@ -1544,11 +1546,6 @@ def lang_tfidf_terms(sf_dir: str):
     # count langs per token, and an in-bucket merge — no second exchange,
     # no driver-side vocab.  (First formulation used 4 exchanges — pairs
     # aggregate, df aggregate, hash join, top-k — and was 4x slower.)
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    n_buckets = 64
-
-    add_bucket = K.add_bucket_fn("token", n_buckets, "__bucket")
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         tf = (g.groupby(["lang", "token"], as_index=False,
                         dropna=False)["tf"].sum())
@@ -1558,9 +1555,11 @@ def lang_tfidf_terms(sf_dir: str):
         m["score_micro"] = _micros(m["tf"].to_numpy() / m["df"].to_numpy())
         return m[["lang", "token", "tf", "score_micro"]]
 
+    # the (lang, token) partial stream grows with the vocabulary — bucket
+    # count is data-derived
     partials = (ds.map_batches(explode, batch_format="pandas")
-                .map_batches(add_bucket, batch_format="pyarrow"))
-    scored = bucket_map_groups(partials, per_bucket, n_buckets=n_buckets)
+                .map_batches(K.add_hash_fn("token"), batch_format="pyarrow"))
+    scored = _auto_exchange(partials, per_bucket)
     top = grouped_topk(scored, group_cols=["lang"], k=3,
                        by=["score_micro", "token"], ascending=[False, True])
     return top.select_columns(["lang", "token", "tf", "score_micro"])
@@ -1653,9 +1652,7 @@ def events_trailing_1h(sf_dir: str):
     exchange as the ROWS windows; inside the bucket the frame start is a
     vectorized searchsorted over each user's sorted timestamps against a
     prefix-sum array — no per-row loop, no second pass."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    n_buckets = 32
     HOUR_US = 3_600_000_000
 
     def prep(t: pa.Table) -> pa.Table:
@@ -1665,8 +1662,6 @@ def events_trailing_1h(sf_dir: str):
             "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
             "cents": pa.array(_cents(
                 t.column("value").to_numpy(zero_copy_only=False)))})
-
-    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:  # a 0-row (but schema-carrying) bucket slice
@@ -1679,7 +1674,8 @@ def events_trailing_1h(sf_dir: str):
         # ts is sorted only WITHIN a user segment; lift to one globally
         # sorted axis by offsetting each segment past the previous one
         # (partitioning assumption: users-per-bucket x (span + 1h) must
-        # fit int64 — size n_buckets so it does; asserted here)
+        # fit int64 — the data-derived bucket count keeps buckets
+        # bounded; asserted here)
         new_user = np.r_[True, u[1:] != u[:-1]]
         seg_idx = np.cumsum(new_user) - 1
         rel = ts - ts.min()
@@ -1698,8 +1694,8 @@ def events_trailing_1h(sf_dir: str):
                              "user_id": u, "trail_cents": out})
 
     bucketed = (ds.map_batches(prep, batch_format="pyarrow")
-                .map_batches(add_bucket, batch_format="pyarrow"))
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+                .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
 
 
 def events_latest_per_user(sf_dir: str):
@@ -1878,9 +1874,7 @@ def events_prev_value(sf_dir: str):
     """LAG window function: each event's previous cents value for the same
     user in (ts, event_id) order, NULL for the first — one user-bucketed
     exchange, vectorized shift inside."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    n_buckets = 32
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1889,8 +1883,6 @@ def events_prev_value(sf_dir: str):
             "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
             "cents": pa.array(_cents(
                 t.column("value").to_numpy(zero_copy_only=False)))})
-
-    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
@@ -1903,8 +1895,8 @@ def events_prev_value(sf_dir: str):
             "prev_cents": pd.array(prev, dtype="Int64")})
 
     bucketed = (ds.map_batches(prep, batch_format="pyarrow")
-                .map_batches(add_bucket, batch_format="pyarrow"))
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+                .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
 
 
 def events_value_mad(sf_dir: str):
@@ -1947,17 +1939,13 @@ def events_user_rank(sf_dir: str):
     order), dense_rank (value ties share+compact), and ntile(4) per user
     over descending cents — all vectorized pandas rank/arith inside the
     user-hash bucket (a user never spans buckets)."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
-    n_buckets = 32
     N_TILES = 4
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"event_id": b["event_id"].to_numpy(),
                              "user_id": b["user_id"].to_numpy(),
                              "cents": _cents(b["value"].to_numpy())})
-
-    add_bucket = K.add_bucket_fn("user_id", n_buckets, "__bucket")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "cents", "event_id"],
@@ -1983,8 +1971,8 @@ def events_user_rank(sf_dir: str):
                              "tile": tile.astype(np.int64)})
 
     bucketed = (ds.map_batches(prep, batch_format="pandas")
-                .map_batches(add_bucket, batch_format="pyarrow"))
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+                .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
 
 
 def users_per_type_approx(sf_dir: str):

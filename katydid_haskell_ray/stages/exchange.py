@@ -35,9 +35,47 @@ import ray.data
 
 _EMPTY = pa.table({})
 
+# Per-reduce-task working-set target.  A reduce task concatenates its whole
+# bucket into one in-memory table, so bucket count must GROW with the data:
+# a constant n_buckets means one bucket = total/n — a guaranteed OOM at
+# 100x.  resolve_exchange() sizes n_buckets so a bucket lands near this.
+DEFAULT_TARGET_BUCKET_BYTES = 256 << 20
+# Skew allowance asserted in the reduce task: a bucket may run hot (hash
+# imbalance, correlated keys) but beyond this factor the sizing assumption
+# is broken and the job should fail loudly rather than OOM silently.
+BUCKET_SKEW_FACTOR = 16
 
-def _split_block(tab: pa.Table, bucket_col: str, n_buckets: int):
+
+def resolve_exchange(ds, n_buckets: int | None = None, *,
+                     target_bytes: int | None = None,
+                     min_buckets: int = 8, max_buckets: int = 65536):
+    """Materialize an exchange input and size its bucket count from the
+    ACTUAL materialized bytes (the exchange materializes anyway, so this
+    is free).  Returns (materialized_ds, n_buckets, max_bucket_bytes).
+
+    Pass the result's dataset (not the original) to bucket_map_groups so
+    the materialization isn't repeated.  An explicit ``n_buckets``
+    disables auto-sizing (and the byte-bound assert) for callers whose
+    reduce volume is already bounded (combined partials, top-k heads)."""
+    mat = ds.materialize()
+    if n_buckets is not None:
+        return mat, n_buckets, None
+    tb = target_bytes or DEFAULT_TARGET_BUCKET_BYTES
+    sz = mat.size_bytes() or 0
+    n = int(min(max_buckets, max(min_buckets, -(-sz // tb))))
+    # expected per-bucket bytes given the chosen count (>= tb only when
+    # the max_buckets cap bites); assert with the documented skew factor
+    expected = max(tb, -(-sz // n))
+    return mat, n, BUCKET_SKEW_FACTOR * expected
+
+
+def _split_block(tab: pa.Table, bucket_col: str, n_buckets: int,
+                 modular: bool = False):
     """Zero-copy split of one block into per-bucket slices (sorted once).
+
+    ``modular=True`` means ``bucket_col`` holds a full-range uint64 hash
+    and the bucket is ``hash % n_buckets`` — so the SAME hashed input can
+    be exchanged at any bucket count chosen after materialization.
 
     Ray Data passes 0-row blocks through map operators WITHOUT calling the
     UDF — so a degenerate block can arrive here 0-column, and even as a
@@ -50,6 +88,8 @@ def _split_block(tab: pa.Table, bucket_col: str, n_buckets: int):
     if tab.num_rows == 0:
         return tuple(_EMPTY for _ in range(n_buckets))
     b = tab.column(bucket_col).to_numpy(zero_copy_only=False)
+    if modular:
+        b = b.astype(np.uint64) % np.uint64(n_buckets)
     order = np.argsort(b, kind="stable")
     st = tab.take(pa.array(order))
     bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
@@ -60,14 +100,20 @@ def _split_block(tab: pa.Table, bucket_col: str, n_buckets: int):
 
 
 def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
-                      batch_format: str = "pandas"):
+                      batch_format: str = "pandas", modular: bool = False,
+                      max_bucket_bytes: int | None = None):
     """``ds.groupby(bucket_col).map_groups(fn)`` as a raw-task exchange.
 
-    ``ds`` must already carry an int32 ``bucket_col`` in [0, n_buckets).
+    ``ds`` must already carry ``bucket_col``: an int32 in [0, n_buckets),
+    or (``modular=True``) a full-range uint64 hash that the split task
+    reduces mod n_buckets — use the latter with resolve_exchange() so the
+    bucket count is derived from data size, not hardcoded.
     ``fn`` runs once per bucket on the bucket's full concatenated rows
     (pandas frame or pyarrow table per ``batch_format``), with the bucket
     column still present, and returns the same format.  Returns a Dataset
     over the per-bucket outputs (one block per non-empty output).
+    ``max_bucket_bytes`` (set by resolve_exchange) bounds a reduce task's
+    concatenated input — the documented alternative to a silent OOM.
     """
     split = ray.remote(num_returns=n_buckets)(_split_block)
 
@@ -82,13 +128,19 @@ def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
             # to rebuild typed empty frames by hand, and an untyped empty
             # output degrades the Dataset's unified schema to null columns
             return _EMPTY
+        if max_bucket_bytes is not None and tab.nbytes > max_bucket_bytes:
+            raise AssertionError(
+                f"bucket exceeds sizing bound: {tab.nbytes} bytes > "
+                f"{max_bucket_bytes} (skew factor {BUCKET_SKEW_FACTOR}x) — "
+                "key distribution far hotter than the hash-uniform "
+                "assumption; salt the key or raise target_bucket_bytes")
         if batch_format == "pandas":
             out = fn(tab.to_pandas())
             return pa.Table.from_pandas(out, preserve_index=False)
         return fn(tab)
 
     blocks = ds.materialize().to_arrow_refs()
-    parts = [split.remote(r, bucket_col, n_buckets) for r in blocks]
+    parts = [split.remote(r, bucket_col, n_buckets, modular) for r in blocks]
     outs = [reduce_bucket.remote(*[p[k] for p in parts])
             for k in range(n_buckets)]
     return ray.data.from_arrow_refs(outs)

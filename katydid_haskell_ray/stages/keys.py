@@ -50,54 +50,73 @@ def add_bucket_fn(key: str, n_buckets: int, bucket_col: str = "bucket"):
     return f
 
 
+def add_hash_fn(key: str, bucket_col: str = "__bucket"):
+    """map_batches fn: append the FULL-RANGE uint64 key hash.  Pair with
+    exchange.resolve_exchange + bucket_map_groups(modular=True): the bucket
+    count is then derived from materialized bytes instead of hardcoded —
+    required for every exchange that ships raw rows."""
+    def f(batch: pa.Table) -> pa.Table:
+        arr = batch.column(key)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return batch.append_column(bucket_col,
+                                   pa.array(SK.hash64_array(arr)))
+    return f
+
+
 _add_bucket = add_bucket_fn  # internal alias (existing call sites)
 
 
-def duplicate_keys(ds, key: str, n_buckets: int = 64):
+def _auto_keyed_exchange(bucketed, per_bucket, n_buckets: int | None):
+    """Shared tail: bucket count derived from materialized bytes unless
+    pinned (exchange.resolve_exchange) — distinct-key partial streams grow
+    with the data, so constant counts don't survive 100x."""
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    mat, nb, max_b = resolve_exchange(bucketed, n_buckets)
+    return bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)
+
+
+def duplicate_keys(ds, key: str, n_buckets: int | None = None):
     """Dataset -> Dataset of (key, dup_count) for keys appearing > 1 time.
 
     Two-level: per-batch value_counts partials, then a shuffle keyed on a
-    COARSE hash bucket (n_buckets groups) with a vectorized pandas
-    aggregation inside each bucket.  Grouping directly on the key would give
-    the sort-based shuffle millions of distinct groups and per-group
-    overhead dominates; bucketing keeps the exchange identical in volume
-    but makes the reduce C-speed."""
+    COARSE hash bucket with a vectorized pandas aggregation inside each
+    bucket.  Grouping directly on the key would give the sort-based
+    shuffle millions of distinct groups and per-group overhead dominates;
+    bucketing keeps the exchange identical in volume but makes the reduce
+    C-speed."""
     import pandas as pd
 
     partials = ds.select_columns([key]).map_batches(
         partial_key_counts(key), batch_format="pyarrow")
-    bucketed = partials.map_batches(_add_bucket(key, n_buckets),
-                                    batch_format="pyarrow")
+    bucketed = partials.map_batches(add_hash_fn(key), batch_format="pyarrow")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby(key, as_index=False)["cnt"].sum()
         s = s[s["cnt"] > 1].rename(columns={"cnt": "dup_count"})
         return s
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets,
-                             bucket_col="bucket")
+    return _auto_keyed_exchange(bucketed, per_bucket, n_buckets)
 
 
-def exact_distinct_count(ds, key: str, n_buckets: int = 64) -> int:
+def exact_distinct_count(ds, key: str, n_buckets: int | None = None) -> int:
     """Exact distinct-key count via bucketed two-level aggregation."""
     import pandas as pd
 
     partials = ds.select_columns([key]).map_batches(
         partial_key_counts(key), batch_format="pyarrow")
-    bucketed = partials.map_batches(_add_bucket(key, n_buckets),
-                                    batch_format="pyarrow")
+    bucketed = partials.map_batches(add_hash_fn(key), batch_format="pyarrow")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n": [g[key].nunique()]})
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    out = bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets,
-                            bucket_col="bucket")
+    out = _auto_keyed_exchange(bucketed, per_bucket, n_buckets)
     return int(out.to_pandas()["n"].sum())
 
 
-def distinct_values(ds, key: str, n_buckets: int = 64):
+def distinct_values(ds, key: str, n_buckets: int | None = None):
     """Dataset of the distinct NON-NULL values of ``key``.
 
     NOTE: SQL ``SELECT DISTINCT`` would keep one NULL row; this drops
@@ -120,13 +139,10 @@ def distinct_values(ds, key: str, n_buckets: int = 64):
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g[[key]].drop_duplicates()
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
     bucketed = (ds.select_columns([key])
                 .map_batches(partial, batch_format="pyarrow")
-                .map_batches(_add_bucket(key, n_buckets),
-                             batch_format="pyarrow"))
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets,
-                             bucket_col="bucket")
+                .map_batches(add_hash_fn(key), batch_format="pyarrow"))
+    return _auto_keyed_exchange(bucketed, per_bucket, n_buckets)
 
 
 def build_bloom_from_dataset(ds, key: str, n_items_hint: int | None = None,
@@ -213,23 +229,21 @@ def grouped_approx_distinct(ds, group: str, key: str, p: int = 12,
     return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
 
 
-def grouped_distinct_count(ds, group: str, key: str, n_buckets: int = 64,
+def grouped_distinct_count(ds, group: str, key: str,
+                           n_buckets: int | None = None,
                            out: str = "n_distinct"):
     """Exact COUNT(DISTINCT key) per group.
 
     Per-batch (group, key) dedup partials -> key-hash bucketed exchange
     (a (group, key) pair lands in exactly one bucket, so per-bucket
     nunique partials sum exactly) -> tiny (group, n) rollup.  Exchange
-    volume is O(distinct pairs), never the raw rows."""
+    volume is O(distinct pairs) — which grows with the data, so the
+    bucket count is data-derived (resolve_exchange) unless given."""
     import pandas as pd
     import pyarrow as pa
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b[[group, key]].drop_duplicates()
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = SK.hash64_array(t.column(key)) % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(h.astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False on the GROUP (SQL keeps the NULL group); nunique
@@ -238,11 +252,13 @@ def grouped_distinct_count(ds, group: str, key: str, n_buckets: int = 64,
                 .groupby(group, as_index=False, dropna=False)[key].nunique()
                 .rename(columns={key: out}))
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    parts = bucket_map_groups(
-        ds.select_columns([group, key])
-        .map_batches(partial, batch_format="pandas")
-        .map_batches(add_bucket, batch_format="pyarrow"),
-        per_bucket, n_buckets=n_buckets).to_pandas()
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    bucketed = (ds.select_columns([group, key])
+                .map_batches(partial, batch_format="pandas")
+                .map_batches(add_hash_fn(key), batch_format="pyarrow"))
+    mat, nb, max_b = resolve_exchange(bucketed, n_buckets)
+    parts = bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                              max_bucket_bytes=max_b).to_pandas()
     return (parts.groupby(group, as_index=False, dropna=False)[out].sum()
             .astype({out: np.int64}))

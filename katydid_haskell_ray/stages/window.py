@@ -98,22 +98,27 @@ def hopping_aggregate(ds, *, width_s: int = 3600, hop_s: int = 1800,
         ["window_start_s", *keys])
 
 
+def add_key_hash(t: pa.Table, key: str,
+                 bucket_col: str = "__bucket") -> pa.Table:
+    """Append the full-range uint64 key hash — the exchange takes it mod a
+    bucket count chosen AFTER materialization (resolve_exchange), so raw-row
+    shuffles scale their reduce fan-out with the data instead of a constant."""
+    from katydid_haskell_ray.state import sketches as SK
+    return t.append_column(bucket_col, pa.array(SK.hash64_array(t.column(key))))
+
+
 def rolling_sum(ds, *, key: str = "user_id", order_cols=("ts", "event_id"),
                 value_col: str = "value", window: int = 5,
-                out: str = "roll_sum", n_buckets: int = 64):
+                out: str = "roll_sum", n_buckets: int | None = None):
     """Per-key rolling sum over the current + (window-1) preceding rows in
     ``order_cols`` order — SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ...
     ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
 
     Scale shape: same coarse-bucket exchange as sessionize — a key never
     spans buckets, so each bucket runs ONE vectorized pandas pass (sort +
-    C-speed groupby-rolling), never a Python call per key."""
-    from katydid_haskell_ray.state import sketches as SK
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = (SK.hash64_array(t.column(key))
-             % np.uint64(n_buckets)).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+    C-speed groupby-rolling), never a Python call per key.  This ships RAW
+    ROWS, so the bucket count defaults to data-derived (resolve_exchange)
+    with the per-bucket byte bound asserted in the reduce."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, *order_cols], kind="mergesort")
@@ -126,13 +131,16 @@ def rolling_sum(ds, *, key: str = "user_id", order_cols=("ts", "event_id"),
 
     cols = [key, *order_cols, value_col]
     bucketed = ds.select_columns(cols).map_batches(
-        add_bucket, batch_format="pyarrow")
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+        lambda t: add_key_hash(t, key), batch_format="pyarrow")
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    mat, nb, max_b = resolve_exchange(bucketed, n_buckets)
+    return bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)
 
 
 def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
-               gap_s: int = 1800, n_buckets: int = 64,
+               gap_s: int = 1800, n_buckets: int | None = None,
                per_key_stats: bool = False):
     """Session windows per key: a new session starts when the gap from the
     previous event exceeds ``gap_s``.  Returns (user_id, session_seq,
@@ -150,12 +158,6 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
 
     SQL-equivalent (oracle): lag + cumulative-sum-of-boundary-flags window
     functions."""
-    from katydid_haskell_ray.state import sketches as SK
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = (SK.hash64_array(t.column(key))
-             % np.uint64(n_buckets)).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts_col], kind="mergesort")
@@ -183,6 +185,9 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
                     "n_events"]]
 
     bucketed = ds.select_columns([key, ts_col]).map_batches(
-        add_bucket, batch_format="pyarrow")
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+        lambda t: add_key_hash(t, key), batch_format="pyarrow")
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    mat, nb, max_b = resolve_exchange(bucketed, n_buckets)
+    return bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)

@@ -539,3 +539,55 @@ def test_knn_join_ivf_recall(ray_session, sf_dir):
     # every vector gets neighbors, ranks are 1..k
     assert set(approx["rank"]) == {1, 2}
     assert approx.groupby("vec_id").size().max() <= 2
+
+
+def test_resolve_exchange_derives_bucket_count(ray_session):
+    """Bucket count must scale with the exchange's materialized bytes
+    (constant n_buckets = one bucket holds total/N at 100x)."""
+    import ray.data
+    from katydid_haskell_ray.stages.exchange import (
+        BUCKET_SKEW_FACTOR, bucket_map_groups, resolve_exchange)
+    from katydid_haskell_ray.stages.keys import add_hash_fn
+
+    n = 20_000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64) % 997,
+                       "v": np.ones(n, dtype=np.int64)})
+    bucketed = (ray.data.from_pandas(df)
+                .map_batches(add_hash_fn("k"), batch_format="pyarrow"))
+
+    # tiny target emulates a 1000x-inflated input: count grows ~bytes/target
+    mat, nb, max_b = resolve_exchange(bucketed, target_bytes=16_384)
+    sz = mat.size_bytes()
+    assert nb == min(65536, max(8, -(-sz // 16_384)))
+    assert nb > 8  # actually derived, not the floor
+    # the asserted reduce-task bound documents the skew allowance
+    assert max_b == BUCKET_SKEW_FACTOR * max(16_384, -(-sz // nb))
+
+    # modular exchange at the derived count is exact: per-key sums match
+    got = bucket_map_groups(
+        mat,
+        lambda g: g.groupby("k", as_index=False)["v"].sum(),
+        n_buckets=nb, modular=True, max_bucket_bytes=max_b,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    expect = df.groupby("k", as_index=False)["v"].sum()
+    assert got["v"].tolist() == expect["v"].tolist()
+    assert got["k"].tolist() == expect["k"].tolist()
+
+    # explicit n_buckets pins the count and disables the bound
+    _, nb2, max_b2 = resolve_exchange(bucketed, 32)
+    assert (nb2, max_b2) == (32, None)
+
+
+def test_exchange_bucket_byte_bound_trips(ray_session):
+    """A bucket beyond the skew allowance fails loudly, not OOM-silently."""
+    import ray.data
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    from katydid_haskell_ray.stages.keys import add_hash_fn
+
+    df = pd.DataFrame({"k": np.zeros(5000, dtype=np.int64),  # one hot key
+                       "v": np.arange(5000, dtype=np.int64)})
+    bucketed = (ray.data.from_pandas(df)
+                .map_batches(add_hash_fn("k"), batch_format="pyarrow"))
+    with pytest.raises(Exception, match="sizing bound"):
+        bucket_map_groups(bucketed, lambda g: g, n_buckets=16,
+                          modular=True, max_bucket_bytes=1024).materialize()

@@ -256,16 +256,35 @@ def knn_topk_ivf(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
     return out.reset_index(drop=True)
 
 
+def _iter_chunks(chunk_refs):
+    """Stream the packed (id, vec) blocks: ``ray.get`` ONE chunk per
+    iteration as a zero-copy object-store view and yield (ids, matrix).
+    The view is released when the loop advances, so a scorer's residency
+    is a single chunk — the table-sized matrix lives (spillably) in the
+    object store, never in every actor's heap."""
+    for r in chunk_refs:
+        t = ray.get(r)
+        if len(t) == 0:
+            continue
+        vec = t.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        mat = (vec.flatten().to_numpy(zero_copy_only=False)
+               .reshape(len(t), -1))
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        yield ids, mat
+
+
 def cosine_near_pairs(ds, *, threshold: float = 0.95, col: str = "embedding",
                       id_col: str = "vec_id", concurrency: int | None = None):
     """All (a, b, sim) pairs with cosine >= threshold, a < b — exact.
 
     Self-join by object-store broadcast: the projected, pre-normalized
     (id, embedding) blocks are materialized ONCE in the Ray object store and
-    only their refs travel; each scorer actor maps the shared blocks
-    zero-copy (one physical copy per node, never a driver-side matrix) and
-    matmuls its batches against one chunk at a time.  Partitioning
-    assumption: the table's float32 matrix fits a node's object store.
+    only their refs travel; each scorer actor STREAMS the shared blocks —
+    ``ray.get`` one chunk per loop iteration (a zero-copy view that is
+    evictable once the iteration drops it), so per-actor residency is one
+    chunk, not the table, and the object store spills the matrix as needed.
     Exact all-pairs is inherently O(N²/cluster) compute — for web-scale
     tables restrict candidates first (:class:`LSHBucketStage` /
     :func:`knn_topk_lsh`) and accept approximate recall."""
@@ -285,24 +304,13 @@ def cosine_near_pairs(ds, *, threshold: float = 0.95, col: str = "embedding",
 
     class PairFinder:
         def __init__(self):
-            self.chunks = []
-            for r in chunk_refs:
-                t = ray.get(r)  # zero-copy view of the shared block
-                if len(t) == 0:
-                    continue
-                vec = t.column("vec")
-                if isinstance(vec, pa.ChunkedArray):
-                    vec = vec.combine_chunks()
-                mat = vec.flatten().to_numpy(zero_copy_only=False) \
-                    .reshape(len(t), -1)
-                ids = t.column("id").to_numpy(zero_copy_only=False)
-                self.chunks.append((ids, mat))
+            self.chunk_refs = chunk_refs  # refs only; chunks stream per call
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _embed_matrix(batch, "vec")  # already normalized by pack
             bids = batch.column("id").to_numpy(zero_copy_only=False)
             out_a, out_b, out_s = [], [], []
-            for ids, mat in self.chunks:
+            for ids, mat in _iter_chunks(self.chunk_refs):
                 sims = m @ mat.T
                 ri, ci = np.nonzero(sims >= threshold)
                 a, bb = bids[ri], ids[ci]
@@ -330,12 +338,14 @@ def knn_join(ds, *, k: int = 3, col: str = "embedding",
     excluded), ranked by (round(sim, 6) DESC, neighbor id ASC).
 
     Same object-store self-join shape as :func:`cosine_near_pairs` — the
-    normalized blocks materialize once, each scorer streams its query
-    batches against one shared chunk at a time keeping k candidates per
-    chunk, and the final per-row rank merges chunks*k candidates.  Scoring
+    normalized blocks materialize once, each scorer streams ONE shared
+    chunk at a time (zero-copy view, evictable between iterations; the
+    actor never holds the full matrix) keeping k candidates per chunk,
+    and the final per-row rank merges chunks*k candidates.  Scoring
     is float64 so the 6-decimal rank quantization agrees with a float64
-    oracle.  Exact all-pairs is inherently O(N²/cluster); at web scale
-    restrict candidates first (IVF/LSH) and accept approximate recall."""
+    oracle.  Exact all-pairs is inherently O(N²/cluster); this operator
+    is the ORACLE/verification mode — the 100-TB default is
+    :func:`knn_join_ivf` (recall measured against this in tests)."""
     def pack(b: pa.Table) -> pa.Table:
         m = _normalize(_embed_matrix(b, col).astype(np.float64))
         return pa.table({
@@ -350,21 +360,7 @@ def knn_join(ds, *, k: int = 3, col: str = "embedding",
 
     class Scorer:
         def __init__(self):
-            self.chunks = []
-            for r in chunk_refs:
-                t = ray.get(r)
-                if len(t) == 0:
-                    continue
-                vec = t.column("vec")
-                if isinstance(vec, pa.ChunkedArray):
-                    vec = vec.combine_chunks()
-                mat = (vec.flatten().to_numpy(zero_copy_only=False)
-                       .reshape(len(t), -1))
-                ids = t.column("id").to_numpy(zero_copy_only=False)
-                # id-sorted chunk + STABLE sort below = exact
-                # (sim DESC, id ASC) tie-break inside each chunk
-                order = np.argsort(ids, kind="stable")
-                self.chunks.append((ids[order], mat[order]))
+            self.chunk_refs = chunk_refs  # refs only; chunks stream per call
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             # no float32 round-trip: the packed vecs are float64 and the
@@ -377,7 +373,13 @@ def knn_join(ds, *, k: int = 3, col: str = "embedding",
             qids = batch.column("id").to_numpy(zero_copy_only=False)
             nq = len(qids)
             cand_s, cand_i = [], []
-            for ids, mat in self.chunks:
+            for ids, mat in _iter_chunks(self.chunk_refs):
+                # id-sorted chunk + STABLE sort below = exact
+                # (sim DESC, id ASC) tie-break inside each chunk; the
+                # argsort is O(n log n) per chunk — noise next to the
+                # matmul — and keeps the streamed view unmodified
+                order = np.argsort(ids, kind="stable")
+                ids, mat = ids[order], mat[order]
                 sims = np.round(q @ mat.T, 6)
                 sims[qids[:, None] == ids[None, :]] = -np.inf  # no self
                 kk = min(k, sims.shape[1])

@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_bytes_grammar": Q.images_bytes_grammar,
         "images_check_failures": Q.images_check_failures,
         "images_caption_ref": Q.images_caption_ref,
+        "docs_user_ref_bloom": Q.docs_user_ref_bloom,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
         "images_features": Q.images_features,            # rows-only (codec)
         # quality filtering / PII / image stats / set ops (round-2 cont.)
@@ -624,6 +625,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "images_check_failures": fail_counts,
         "images_caption_ref": _caption_ref_sql(),
+        "docs_user_ref_bloom": """
+            SELECT doc_id,
+                   doc_id IN (SELECT user_id FROM events) AS ref_ok
+            FROM documents
+        """,
         "images_grammar_verdicts": f"""
             SELECT image_id,
                    (COALESCE(image_id LIKE 'img-%', FALSE)

@@ -1058,6 +1058,47 @@ def images_caption_ref(sf_dir: str):
     return ds.map_batches(RefCheck, batch_format="pandas", concurrency=_AC())
 
 
+def docs_user_ref_bloom(sf_dir: str):
+    """Referential check through the at-scale Bloom path: is each doc_id
+    an active events.user_id?  (350/500 fail at sf0.01 — both polarities
+    exercised.)
+
+    Architecture = Bloom prefilter + exact verification of survivors:
+    the broadcast Bloom (keys.BloomProbe, fetched once per actor) rejects
+    'definitely absent' keys with zero further work — at scale that is
+    the bulk of a mostly-invalid stream — and only 'maybe' rows are
+    checked against the exact key set, so Bloom false positives NEVER
+    reach the output: the result equals the SQL semi-join bit exactly,
+    which is what keeps this oracle-checkable.  The false-positive rate
+    itself is asserted against the exact twin in tests/test_ops.py."""
+    users = _read(sf_dir, "events", ["user_id"])
+    bloom_ref = ray.put(K.build_bloom_from_dataset(users, "user_id"))
+    exact_ref = ray.put(frozenset(
+        K.distinct_values(users, "user_id").to_pandas()["user_id"]))
+
+    class BloomThenVerify:
+        # ONE actor stage (probe composed with verify): two chained fixed
+        # actor pools can reserve every CPU of a small node and starve the
+        # read tasks — and the probe->verify handoff has no reason to
+        # cross the object store anyway
+        def __init__(self):
+            self.probe = K.BloomProbe(bloom_ref, "doc_id", "bloom_maybe")
+            self.exact = ray.get(exact_ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            b = self.probe(t).to_pandas()
+            maybe = b["bloom_maybe"].to_numpy(dtype=bool)
+            ok = maybe.copy()
+            if maybe.any():  # exact check ONLY for Bloom survivors
+                ok[maybe] = b.loc[maybe, "doc_id"].isin(self.exact).to_numpy()
+            return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                                 "ref_ok": ok})
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return docs.map_batches(BloomThenVerify, batch_format="pyarrow",
+                            concurrency=_AC())
+
+
 # the grammars live in pipelines.validate (single source of truth)
 from katydid_haskell_ray.pipelines.validate import (  # noqa: E402
     IMAGES_META_GRAMMAR)

@@ -178,7 +178,9 @@ class BloomProbe:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         null = pc.is_null(arr).to_numpy(zero_copy_only=False)
-        hashes = SK.hash64_array(arr.fill_null(""))
+        # hash64_array maps nulls to a fixed sentinel (any key type);
+        # their probe result is masked to False below regardless
+        hashes = SK.hash64_array(arr)
         ok = self.bloom.contains_hashes(hashes)
         ok = np.where(null, False, ok)
         return batch.append_column(self.out_col, pa.array(ok))

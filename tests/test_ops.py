@@ -591,3 +591,38 @@ def test_exchange_bucket_byte_bound_trips(ray_session):
     with pytest.raises(Exception, match="sizing bound"):
         bucket_map_groups(bucketed, lambda g: g, n_buckets=16,
                           modular=True, max_bucket_bytes=1024).materialize()
+
+
+def test_bloom_prefilter_fp_rate_vs_exact_twin(ray_session, sf_dir):
+    """docs_user_ref_bloom: the Bloom 'maybe' set vs the exact membership
+    set — false-positive rate must be within a small multiple of the
+    configured 1e-3, and the final output must equal exact semantics."""
+    import os
+    import ray.data
+    from katydid_haskell_ray.stages import keys as K
+
+    users = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                  columns=["user_id"])
+    bloom = K.build_bloom_from_dataset(users, "user_id", fp_rate=1e-3)
+    exact = frozenset(pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id"])["user_id"].unique())
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    import ray as _ray
+    probe = K.BloomProbe(_ray.put(bloom), "doc_id", "maybe")
+    out = probe(pa.table({"doc_id": pa.array(docs["doc_id"])}))
+    maybe = out.column("maybe").to_numpy(zero_copy_only=False)
+    truth = docs["doc_id"].isin(exact).to_numpy()
+    assert (maybe | ~truth).all() if False else not (truth & ~maybe).any()  # no false negatives
+    absent = (~truth).sum()
+    fps = int((maybe & ~truth).sum())
+    assert fps <= max(2, int(0.01 * absent)), (fps, absent)
+
+    # end-to-end: the query's output equals the exact semi-join bit
+    import __ray_entry__ as E
+    got = (E.queries()["docs_user_ref_bloom"](sf_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    expect = docs.sort_values("doc_id").reset_index(drop=True)["doc_id"] \
+        .isin(exact).to_numpy()
+    assert (got["ref_ok"].to_numpy() == expect).all()

@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": Q.distinct_event_types,
         "users_per_type": Q.users_per_type,
         # images (input_hint table)
+        "jaccard_pairs_docs": Q.jaccard_pairs_docs,
         "images_stats": Q.images_stats,
         "images_uniqueness": Q.images_uniqueness,
         "images_phash_dups": Q.images_phash_dups,
@@ -586,6 +587,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT ev.event_id,
                    (SELECT MAX(d) FROM od WHERE od.d <= ev.ts_s) AS last_order_s
             FROM ev
+        """,
+        "jaccard_pairs_docs": rf"""
+            WITH aug AS ({_AUG_DOCS}),
+            tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM aug),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 3
+                            THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(
+                                generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       END AS s
+                FROM tok WHERE len(t) > 0),
+            d AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s)
+                           - len(list_intersect(a.s, b.s)) AS un
+                FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            SELECT a, b,
+                   CAST(floor(1e6 * inter / un) AS BIGINT) AS j_micro
+            FROM p WHERE un > 0 AND inter * 1.0 / un >= 0.5
         """,
         "images_stats": " UNION ALL ".join(
             f"SELECT '{c}' AS col, COUNT(*) AS n, "

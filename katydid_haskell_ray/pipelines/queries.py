@@ -561,6 +561,15 @@ def minhash_dedupe_docs(sf_dir: str):
                      "cluster": pa.array(clusters["cluster"], type=pa.int64())})
 
 
+def jaccard_pairs_docs(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs over the augmented corpus
+    (stages/dedupe.py:jaccard_near_pairs — PPJoin-style prefix filtering,
+    never an all-pairs scan); oracle = DuckDB list_intersect over word
+    3-gram shingle sets with the same whole-doc-collapse rule for short
+    docs.  Output ordered-pair (a, b, j_micro)."""
+    return DD.jaccard_near_pairs(_augmented_docs(sf_dir), threshold=0.5)
+
+
 def simhash_docs(sf_dir: str):
     """(doc_id, simhash) fingerprints (no SQL oracle — deterministic rows)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -167,21 +167,31 @@ def _auto_concurrency(requested):
     return auto_concurrency(requested)
 
 
-def _verify_jaccard_flat(texts_a, texts_b, shingle: int, threshold: float):
-    """Exact-Jaccard verify for aligned text pairs, batch-vectorized:
-    each side's shingles come from ONE flat_shingle_hashes call; per-pair
-    work is a sorted-array intersect (np.intersect1d), never re-tokenizing.
-    Returns a bool keep mask."""
+def _jaccard_flat(texts_a, texts_b, shingle: int):
+    """(intersection, union) set sizes for aligned text pairs,
+    batch-vectorized: each side's shingles come from ONE
+    flat_shingle_hashes call; per-pair work is a sorted-array intersect
+    (np.intersect1d), never re-tokenizing."""
     fa, oa = flat_shingle_hashes(texts_a, shingle)
     fb, ob = flat_shingle_hashes(texts_b, shingle)
-    keep = np.empty(len(texts_a), dtype=bool)
-    for i in range(len(texts_a)):
+    n = len(texts_a)
+    inter = np.empty(n, dtype=np.int64)
+    un = np.empty(n, dtype=np.int64)
+    for i in range(n):
         sa = np.unique(fa[oa[i]:oa[i + 1]])
         sb = np.unique(fb[ob[i]:ob[i + 1]])
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        un = sa.size + sb.size - inter
-        keep[i] = (un == 0) or (inter / un >= threshold)
-    return keep
+        c = np.intersect1d(sa, sb, assume_unique=True).size
+        inter[i] = c
+        un[i] = sa.size + sb.size - c
+    return inter, un
+
+
+def _verify_jaccard_flat(texts_a, texts_b, shingle: int, threshold: float):
+    """Exact-Jaccard verify for aligned text pairs -> bool keep mask."""
+    inter, un = _jaccard_flat(texts_a, texts_b, shingle)
+    # same division form as the SQL oracle (inter*1.0/un >= t): float
+    # division on both sides keeps ulp-edge verdicts identical
+    return (un == 0) | (inter / np.maximum(un, 1) >= threshold)
 
 
 def _smalltail_cluster(pair_refs, doc_refs, *, id_col, col, shingle,
@@ -440,6 +450,104 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
     kept_ds = hash_join(ids_ds, drop_ds, key=id_col, left_cols=[],
                         right_cols=[], n_buckets=n_buckets, how="left_anti")
     return clusters, kept_ds
+
+
+def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
+                       id_col: str = "doc_id", shingle: int = 3):
+    """EXACT n-gram-Jaccard near-dup pairs (a < b, J >= threshold) with
+    the score as ``j_micro = floor(1e6 * |A∩B| / |A∪B|)``.
+
+    MinHash-LSH (minhash_dedupe) is the probabilistic path; this is the
+    exact one, made sub-quadratic by PPJoin-style PREFIX FILTERING: under
+    any global total order on shingles (here: the 64-bit shingle hash
+    ascending), two sets with J >= t must share at least one shingle
+    among each set's first ``|X| - ceil(t*|X|) + 1`` shingles.  Only
+    those prefix shingles enter the inverted-index exchange, so candidate
+    generation touches a ~(1-t) fraction of the postings; candidates are
+    pair-dedup-exchanged, joined back to their texts, and exact-verified
+    with the same flat-shingle kernel as the MinHash tail.  A globally
+    hot prefix shingle still pairs quadratically within its posting list
+    — PPJoin's positional filter is the known tightening; documented,
+    not implemented.
+
+    All exchanges derive their bucket counts from data size."""
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    from katydid_haskell_ray.stages.join import hash_join
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        flat, offsets = flat_shingle_hashes(texts, shingle)
+        # vectorized per-doc distinct + rank: (row, hash) dedup, sort,
+        # cumcount < prefix_len(row)
+        row = np.repeat(np.arange(len(texts)), np.diff(offsets))
+        df = (pd.DataFrame({"r": row, "h": flat.view(np.int64)})
+              .drop_duplicates().sort_values(["r", "h"], kind="mergesort"))
+        sizes = df.groupby("r")["h"].transform("size").to_numpy()
+        rank = df.groupby("r").cumcount().to_numpy()
+        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        kept = df[rank < plen]
+        return pa.table({
+            "sh": pa.array(kept["h"].to_numpy(), type=pa.int64()),
+            id_col: pa.array(ids[kept["r"].to_numpy()], type=pa.int64()),
+            # the shingle hash IS the full-range bucket hash
+            "__bucket": pa.array(kept["h"].to_numpy().view(np.uint64))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["sh", id_col]]
+        m = g.merge(g, on="sh")
+        a = m[f"{id_col}_x"].to_numpy()
+        b = m[f"{id_col}_y"].to_numpy()
+        keep = a < b
+        return (pd.DataFrame({"a": a[keep], "b": b[keep]})
+                .drop_duplicates())
+
+    prefixed = ds.select_columns([id_col, col]).map_batches(
+        prefix_rows, batch_format="pyarrow")
+    mat, nb, max_b = resolve_exchange(prefixed)
+    cand = bucket_map_groups(mat, bucket_pairs, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)
+
+    # same pair can surface from different prefix shingles: pair-keyed dedup
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        h = SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b"))
+        return t.append_column("__bucket", pa.array(h))
+
+    mat2, nb2, max_b2 = resolve_exchange(
+        cand.map_batches(pair_bucket, batch_format="pyarrow"))
+    pairs = bucket_map_groups(
+        mat2, lambda g: g[["a", "b"]].drop_duplicates(),
+        n_buckets=nb2, modular=True, max_bucket_bytes=max_b2).materialize()
+
+    texts_ds = ds.map_batches(lambda t: t.select([id_col, col]),
+                              batch_format="pyarrow")
+    p1 = pairs.map_batches(
+        lambda t: pa.table({id_col: t.column("a"), "b": t.column("b")}),
+        batch_format="pyarrow")
+    j1 = hash_join(p1, texts_ds, key=id_col, left_cols=["b"],
+                   right_cols=[col]).materialize()
+    p2 = j1.map_batches(
+        lambda t: pa.table({"a": t.column(id_col), id_col: t.column("b"),
+                            "text_a": t.column(col)}),
+        batch_format="pyarrow")
+    j2 = hash_join(p2, texts_ds, key=id_col, left_cols=["a", "text_a"],
+                   right_cols=[col])
+
+    def verify(t: pa.Table) -> pa.Table:
+        inter, un = _jaccard_flat(t.column("text_a").to_pylist(),
+                                  t.column(col).to_pylist(), shingle)
+        # oracle division form; un == 0 pairs (both empty) are dropped on
+        # BOTH sides (SQL filters un > 0)
+        safe = np.maximum(un, 1)
+        keep = (un > 0) & (inter / safe >= threshold)
+        jm = np.floor(1e6 * inter / safe).astype(np.int64)
+        return pa.table({
+            "a": t.column("a").filter(pa.array(keep)),
+            "b": t.column(id_col).filter(pa.array(keep)),
+            "j_micro": pa.array(jm[keep], type=pa.int64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:

@@ -626,3 +626,20 @@ def test_bloom_prefilter_fp_rate_vs_exact_twin(ray_session, sf_dir):
     expect = docs.sort_values("doc_id").reset_index(drop=True)["doc_id"] \
         .isin(exact).to_numpy()
     assert (got["ref_ok"].to_numpy() == expect).all()
+
+
+def test_jaccard_near_pairs_exact_vs_bruteforce(docs_ds):
+    """PPJoin prefix filtering must be lossless: the distributed exact
+    Jaccard pairs equal the O(n^2) brute-force set at every threshold."""
+    texts = dict(zip(docs_ds.to_pandas()["doc_id"],
+                     docs_ds.to_pandas()["text"]))
+    for t in (0.3, 0.5, 0.8):
+        got = DD.jaccard_near_pairs(docs_ds, threshold=t).to_pandas()
+        gset = {(a, b) for a, b in zip(got["a"], got["b"])}
+        brute = DD.ngram_jaccard_pairs_bruteforce(texts, threshold=t)
+        bset = {(a, b) for a, b, _ in brute}
+        assert gset == bset, (t, gset ^ bset)
+        # scores agree with the brute jaccard to the floored micro
+        bj = {(a, b): j for a, b, j in brute}
+        for (a, b), jm in zip(zip(got["a"], got["b"]), got["j_micro"]):
+            assert jm == int(np.floor(1e6 * bj[(a, b)]))

@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_type": Q.users_per_type,
         # images (input_hint table)
         "jaccard_pairs_docs": Q.jaccard_pairs_docs,
+        "caption_edit1_pairs": Q.caption_edit1_pairs,
+        "docs_drift_psi": Q.docs_drift_psi,
+        "weighted_sample_docs": Q.weighted_sample_docs,
+        "events_first_last": Q.events_first_last,
+        "revenue_by_region": Q.revenue_by_region,
         "images_stats": Q.images_stats,
         "images_uniqueness": Q.images_uniqueness,
         "images_phash_dups": Q.images_phash_dups,
@@ -614,6 +619,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b,
                    CAST(floor(1e6 * inter / un) AS BIGINT) AS j_micro
             FROM p WHERE un > 0 AND inter * 1.0 / un >= 0.5
+        """,
+        "revenue_by_region": """
+            SELECT r_name,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "events_first_last": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            w AS (SELECT user_id,
+                         FIRST_VALUE(cents) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS first_cents,
+                         LAST_VALUE(cents) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING)
+                             AS last_cents,
+                         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+                  FROM e)
+            SELECT DISTINCT user_id, first_cents, last_cents, n_events
+            FROM w
+        """,
+        "weighted_sample_docs": """
+            SELECT doc_id,
+                   CAST(floor(1e9 * (-ln(
+                       (CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                        + 1.0) / (power(2, 60) + 1.0))
+                       / greatest(n_chars, 1))) AS BIGINT) AS key_nano
+            FROM documents
+            ORDER BY key_nano, doc_id LIMIT 20
+        """,
+        "docs_drift_psi": """
+            WITH b AS (SELECT least(n_chars // 256, 7) AS bin,
+                              (lang = 'en') AS is_a
+                       FROM documents),
+            c AS (SELECT bin,
+                         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_a,
+                         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+                              AS BIGINT) AS n_b
+                  FROM b GROUP BY bin),
+            t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb,
+                         COUNT(*) AS nb FROM c)
+            SELECT bin, n_a, n_b,
+                   CAST(floor(1e6
+                        * (((n_a + 0.5) / (ta + 0.5 * nb))
+                           - ((n_b + 0.5) / (tb + 0.5 * nb)))
+                        * ln(((n_a + 0.5) / (ta + 0.5 * nb))
+                             / ((n_b + 0.5) / (tb + 0.5 * nb))))
+                        AS BIGINT) AS psi_micro
+            FROM c, t
+        """,
+        "caption_edit1_pairs": f"""
+            WITH c AS (SELECT DISTINCT caption FROM {_IMAGES}
+                       WHERE caption IS NOT NULL),
+            aug AS (SELECT caption FROM c
+                    UNION
+                    SELECT CASE WHEN length(caption) % 2 = 0
+                                THEN caption || 'x'
+                                ELSE 'z' || substr(caption, 2) END
+                    FROM c)
+            SELECT a.caption AS a, b.caption AS b
+            FROM aug a JOIN aug b
+              ON a.caption < b.caption
+             AND abs(length(a.caption) - length(b.caption)) <= 1
+             AND levenshtein(a.caption, b.caption) <= 1
         """,
         "images_stats": " UNION ALL ".join(
             f"SELECT '{c}' AS col, COUNT(*) AS n, "

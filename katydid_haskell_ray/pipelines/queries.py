@@ -561,6 +561,156 @@ def minhash_dedupe_docs(sf_dir: str):
                      "cluster": pa.array(clusters["cluster"], type=pa.int64())})
 
 
+def revenue_by_region(sf_dir: str):
+    """Star join orders ⋈ customer ⋈ nation ⋈ region → revenue per region
+    name.  ALL three dimension lookups are composed into ONE broadcast map
+    (customer -> nation -> region chained on the driver into a single
+    custkey -> region_name dict, ray.put once, read per actor) — the fact
+    table streams through a single map_batches with zero shuffles; the
+    aggregate is the usual combiner + tiny exchange."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(_t(sf_dir, "region"),
+                          columns=["r_regionkey", "r_name"])
+    nat2reg = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    reg2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    cust2region = {c: reg2name[nat2reg[n]]
+                   for c, n in zip(cust["c_custkey"], cust["c_nationkey"])}
+    ref = ray.put(cust2region)
+
+    class Lookup:
+        def __init__(self):
+            self.m = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "r_name": b["o_custkey"].map(self.m).to_numpy(),
+                "cents": _cents(b["o_totalprice"].to_numpy())})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    mapped = orders.map_batches(Lookup, batch_format="pandas",
+                                concurrency=_AC())
+    return grouped_sum(mapped, ["r_name"], {"revenue_cents": "cents"},
+                       count_as="n_orders")
+
+
+def events_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window pair per user over (ts, event_id)
+    order, plus the partition count — one user-bucketed exchange, one
+    vectorized sorted groupby-first/last pass per bucket (a user never
+    spans buckets); bucket count data-derived."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            "cents": pa.array(_cents(
+                t.column("value").to_numpy(zero_copy_only=False)))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        out = (g.groupby("user_id", sort=False)
+               .agg(first_cents=("cents", "first"),
+                    last_cents=("cents", "last"),
+                    n_events=("cents", "size")).reset_index())
+        return out.astype({"first_cents": np.int64, "last_cents": np.int64,
+                           "n_events": np.int64})
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 20):
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis-Spirakis A-ES scheme): key = -ln(u)/w with u a
+    reproducible md5-derived uniform in (0, 1] and w = n_chars; the k
+    smallest keys are the sample (long docs sampled ~proportionally to
+    length).  Distributed as a per-batch local top-k + O(k x blocks)
+    driver merge — never a total sort.  Ranking uses the FLOORED integer
+    key (key_nano) + doc_id tiebreak so cross-engine float ordering can't
+    flip the selection; md5 is the only cross-engine-stable hash (the
+    per-row digest loop is the documented parity cost, cf.
+    docs_checksum_per_lang)."""
+    import hashlib
+
+    from katydid_haskell_ray.stages.topk import topk_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+             for t in b["text"]), dtype=np.int64, count=len(b))
+        u = (v.astype(np.float64) + 1.0) / (2.0 ** 60 + 1.0)
+        w = np.maximum(b["n_chars"].to_numpy(), 1).astype(np.float64)
+        key = -np.log(u) / w
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "key_nano": np.floor(1e9 * key).astype(np.int64)})
+
+    out = topk_rows(ds.map_batches(keyed, batch_format="pandas"), k=k,
+                    by=["key_nano", "doc_id"], ascending=[True, True])
+    return out.astype({"doc_id": np.int64, "key_nano": np.int64})
+
+
+def docs_drift_psi(sf_dir: str):
+    """Population-Stability-Index drift between the 'en' split and the
+    rest over equal-width n_chars bins (floor(n/256) capped at 7) — the
+    SQL-expressible exact twin of the KLL/t-digest drift checks
+    (stages/stats.py): per-batch (bin, split) combiner counts -> one tiny
+    exchange -> per-bin smoothed PSI contribution on the driver (a
+    few-row frame; the raw stream never shuffles).  Shares are
+    additive-smoothed by 0.5/bin so empty bins stay finite, with the
+    identical float expression on both sides."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "bin": np.minimum(b["n_chars"].to_numpy() // 256, 7),
+            "a": (b["lang"] == "en").to_numpy().astype(np.int64)})
+        out = (d.groupby("bin", as_index=False)
+               .agg(n_a=("a", "sum"), n=("a", "size")))
+        out["n_b"] = out["n"] - out["n_a"]
+        return out[["bin", "n_a", "n_b"]]
+
+    counts = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                         ["bin"], {"n_a": "n_a", "n_b": "n_b"},
+                         count_as=None).to_pandas().sort_values("bin")
+    ta, tb, nb = (counts["n_a"].sum(), counts["n_b"].sum(), len(counts))
+    p = (counts["n_a"].to_numpy() + 0.5) / (ta + 0.5 * nb)
+    q = (counts["n_b"].to_numpy() + 0.5) / (tb + 0.5 * nb)
+    psi = np.floor(1e6 * (p - q) * np.log(p / q)).astype(np.int64)
+    return pd.DataFrame({"bin": counts["bin"].to_numpy(dtype=np.int64),
+                         "n_a": counts["n_a"].to_numpy(dtype=np.int64),
+                         "n_b": counts["n_b"].to_numpy(dtype=np.int64),
+                         "psi_micro": psi})
+
+
+def caption_edit1_pairs(sf_dir: str):
+    """Edit-distance<=1 near-dup pairs among distinct captions, augmented
+    with one deterministic single-edit variant per caption (append for
+    even lengths, substitute-first for odd — reproducible in SQL) so both
+    polarities exist in the synthetic corpus.  Routed through the FastSS
+    deletion-index join (stages/dedupe.py:edit1_near_pairs); oracle =
+    DuckDB levenshtein over the same augmented distinct set."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir), columns=["caption"])
+    distinct = K.distinct_values(ds, "caption")
+
+    def variants(t: pa.Table) -> pa.Table:
+        caps = t.column("caption").to_pylist()
+        out = [c + "x" if len(c) % 2 == 0 else "z" + c[1:] for c in caps]
+        return pa.table({"caption": pa.array(out, type=pa.string())})
+
+    aug = distinct.union(distinct.map_batches(variants,
+                                              batch_format="pyarrow"))
+    return DD.edit1_near_pairs(aug, col="caption")
+
+
 def jaccard_pairs_docs(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs over the augmented corpus
     (stages/dedupe.py:jaccard_near_pairs — PPJoin-style prefix filtering,

@@ -550,6 +550,92 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+def _edit_distance_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check, O(len) with early exit (no DP)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: b must be a with one insertion
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit1_near_pairs(ds, *, col: str = "caption"):
+    """EXACT edit-distance<=1 pairs of DISTINCT strings (a < b) — the
+    FastSS deletion-index join, the short-string (title/caption) analog
+    of the shingle dedup family.
+
+    Two strings at distance <= 1 share a common member of
+    ``{s} ∪ deletions1(s)`` (equal = s itself; ins/del = the shorter is a
+    deletion of the longer; substitution = both delete position i), so:
+    distinct strings -> (variant-hash, string) posting rows -> variant-hash
+    bucketed exchange pairs within posting lists -> pair-keyed dedup ->
+    per-pair O(len) verify (candidates whose variants align at different
+    positions can be distance 2 — the verify is what keeps this exact).
+    The variant explosion is len+1 rows per string — linear, and only
+    DISTINCT strings enter it (fingerprint-dedup first: dup-heavy columns
+    never expand).  Bucket counts are data-derived."""
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    from katydid_haskell_ray.stages.keys import distinct_values
+
+    distinct = distinct_values(ds.select_columns([col]), col)
+
+    def variant_rows(t: pa.Table) -> pa.Table:
+        out_h, out_s = [], []
+        for s in t.column(col).to_pylist():
+            variants = [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+            out_h.extend(variants)
+            out_s.extend([s] * len(variants))
+        h = SK.hash64_array(np.array(out_h, dtype=object)) \
+            if out_h else np.empty(0, np.uint64)
+        return pa.table({"s": pa.array(out_s, type=pa.string()),
+                         "__bucket": pa.array(h)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"__bucket": "vh"})
+        m = g.merge(g, on="vh")
+        keep = m["s_x"] < m["s_y"]
+        return (pd.DataFrame({"a": m["s_x"][keep], "b": m["s_y"][keep]})
+                .drop_duplicates())
+
+    posted = distinct.map_batches(variant_rows, batch_format="pyarrow")
+    mat, nb, max_b = resolve_exchange(posted)
+    cand = bucket_map_groups(mat, bucket_pairs, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        h = SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b"))
+        return t.append_column("__bucket", pa.array(h))
+
+    mat2, nb2, max_b2 = resolve_exchange(
+        cand.map_batches(pair_bucket, batch_format="pyarrow"))
+    pairs = bucket_map_groups(
+        mat2, lambda g: g[["a", "b"]].drop_duplicates(),
+        n_buckets=nb2, modular=True, max_bucket_bytes=max_b2)
+
+    def verify(t: pa.Table) -> pa.Table:
+        av, bv = t.column("a").to_pylist(), t.column("b").to_pylist()
+        keep = np.fromiter((_edit_distance_le1(x, y)
+                            for x, y in zip(av, bv)),
+                           dtype=bool, count=len(av))
+        return t.filter(pa.array(keep))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
 def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """text -> 64-bit simhash fingerprint column (stateless task stage).
 

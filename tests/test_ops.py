@@ -643,3 +643,36 @@ def test_jaccard_near_pairs_exact_vs_bruteforce(docs_ds):
         bj = {(a, b): j for a, b, j in brute}
         for (a, b), jm in zip(zip(got["a"], got["b"]), got["j_micro"]):
             assert jm == int(np.floor(1e6 * bj[(a, b)]))
+
+
+def test_edit1_near_pairs_vs_bruteforce(ray_session):
+    """FastSS deletion-index join must equal brute-force DP levenshtein<=1
+    over a random short-string corpus with planted single edits."""
+    import itertools
+    import ray.data
+
+    def lev(a, b):  # independent full DP reference
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(7)
+    alpha = "abcde"
+    base = ["".join(rng.choice(list(alpha), size=rng.integers(3, 9)))
+            for _ in range(60)]
+    # planted edits: deletion, insertion, substitution
+    mut = [s[1:] for s in base[:10]] + [s + "f" for s in base[10:20]] + \
+        ["f" + s[1:] for s in base[20:30]]
+    corpus = sorted(set(base + mut))
+    ds = ray.data.from_arrow(pa.table({"caption": pa.array(corpus)}))
+    got = DD.edit1_near_pairs(ds, col="caption").to_pandas()
+    gset = {(a, b) for a, b in zip(got["a"], got["b"])}
+    want = {(a, b) for a, b in itertools.combinations(corpus, 2)
+            if lev(a, b) <= 1}
+    assert gset == want, gset ^ want
+    assert want  # planted edits guarantee a non-trivial pair set

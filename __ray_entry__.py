@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": Q.weighted_sample_docs,
         "events_first_last": Q.events_first_last,
         "revenue_by_region": Q.revenue_by_region,
+        "docs_top_bigrams": Q.docs_top_bigrams,
         "images_stats": Q.images_stats,
         "images_uniqueness": Q.images_uniqueness,
         "images_phash_dups": Q.images_phash_dups,
@@ -619,6 +620,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b,
                    CAST(floor(1e6 * inter / un) AS BIGINT) AS j_micro
             FROM p WHERE un > 0 AND inter * 1.0 / un >= 0.5
+        """,
+        "docs_top_bigrams": r"""
+            WITH tok AS (
+                SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents WHERE text IS NOT NULL),
+            bg AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+                FROM tok WHERE len(t) >= 2)
+            SELECT bigram, COUNT(*) AS n FROM bg
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
         """,
         "revenue_by_region": """
             SELECT r_name,

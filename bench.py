@@ -85,7 +85,11 @@ def run_bench() -> dict:
         "doc_len_quantiles", "lineitem_group_share", "knn_join_docs",
         # round-2 continuation: quality / PII / set ops / windows
         "doc_quality_gopher", "pii_scan_docs", "parts_semi_heavy",
-        "events_cumsum", "lang_tfidf_terms", "events_outliers")
+        "events_cumsum", "lang_tfidf_terms", "events_outliers",
+        # round 3: exact-dedup joins / drift / sampling / star join
+        "jaccard_pairs_docs", "caption_edit1_pairs", "docs_drift_psi",
+        "weighted_sample_docs", "events_first_last", "revenue_by_region",
+        "docs_user_ref_bloom")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

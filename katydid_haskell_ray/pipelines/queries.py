@@ -196,6 +196,38 @@ def docs_top_tokens(sf_dir: str):
     return out.astype({"n": np.int64})
 
 
+def docs_top_bigrams(sf_dir: str, k: int = 20):
+    """Corpus heavy-hitter BIGRAMS: same combiner-first shape as
+    docs_top_tokens, with the bigram built by a vectorized pairwise
+    string concat over per-doc token runs (offsets mask document
+    boundaries — no cross-doc bigrams, no per-row loop)."""
+    from katydid_haskell_ray.stages.exchange import bucketed_group_sum
+    from katydid_haskell_ray.stages.topk import topk_rows
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks_list = pc.utf8_split_whitespace(b.column("text").drop_null())
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_list).to_pandas().to_numpy()
+        row = np.repeat(np.arange(len(lens)), lens)
+        # boundary whitespace yields empty tokens — filter the doc-index
+        # array ALONGSIDE the token stream so adjacency stays aligned
+        good = flat != ""
+        flat, row = flat[good], row[good]
+        same_doc = row[1:] == row[:-1] if len(row) else np.empty(0, bool)
+        big = pd.Series(flat[:-1][same_doc]).str.cat(
+            pd.Series(flat[1:][same_doc]), sep=" ")
+        vc = big.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
+                         "n": pa.array(vc.to_numpy(), type=pa.int64())})
+
+    counts = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bigram"])
+    out = topk_rows(counts, k=k, by=["n", "bigram"], ascending=[False, True])
+    return out.astype({"n": np.int64})
+
+
 def distinct_users(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id"])
     n = K.exact_distinct_count(ds, "user_id")
@@ -968,9 +1000,11 @@ def images_check_failures(sf_dir: str):
             rows.append({"check": nm, "n_fail": int((~col).sum())})
         return pa.Table.from_pylist(rows)
 
-    from ray.data.aggregate import Sum
-    partials = ds.map_batches(f, batch_format="pyarrow")
-    return partials.groupby("check").aggregate(Sum("n_fail", alias_name="n_fail"))
+    # the partial stream is blocks x n_checks rows — driver-reducing it is
+    # free, while any shuffle (sort-based or exchange) is pure fixed cost
+    partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return (partials.groupby("check", as_index=False)["n_fail"].sum()
+            .astype({"n_fail": np.int64}))
 
 
 def images_decode_checks(sf_dir: str):

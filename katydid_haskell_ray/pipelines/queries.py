@@ -1976,7 +1976,14 @@ def docs_checksum_per_lang(sf_dir: str):
     XOR of the first 60 bits of md5(text) over each group — the
     table-diff / anti-entropy primitive (two engines can compare a table
     without moving it; XOR is commutative, so block order is free).
-    Combiner: per-batch XOR partials, then one tiny exchange."""
+    Combiner: per-batch XOR partials, then one tiny exchange.
+
+    The per-row hashlib.md5 generator is the ONE deliberate per-row
+    Python kernel in a hot path: md5 is the only hash both engines share
+    bit-for-bit, and a vectorized cross-engine hash does not exist in
+    this environment.  Cost ~1 us/row (~1 s per 10^6 docs per core),
+    embarrassingly parallel across blocks; swap in a shared xxhash UDF
+    when the oracle engine grows one."""
     import hashlib
     ds = _read(sf_dir, "documents", ["lang", "text"])
 

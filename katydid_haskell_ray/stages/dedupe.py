@@ -464,18 +464,27 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
     among each set's first ``|X| - ceil(t*|X|) + 1`` shingles.  Only
     those prefix shingles enter the inverted-index exchange, so candidate
     generation touches a ~(1-t) fraction of the postings; candidates are
-    pair-dedup-exchanged, joined back to their texts, and exact-verified
-    with the same flat-shingle kernel as the MinHash tail.  A globally
-    hot prefix shingle still pairs quadratically within its posting list
-    — PPJoin's positional filter is the known tightening; documented,
-    not implemented.
+    Bloom-restricted to candidates, and exact-verified by COUNTING: a
+    second posting exchange over the FULL shingle sets sums per-pair
+    co-occurrences (each common shingle lives in exactly one bucket, so
+    the counts sum exactly), and since posting rows carry each doc's set
+    size, J = inter / (|A| + |B| - inter) falls out of a C-speed
+    merge+groupby — no text joins, no per-pair Python.  Bloom false
+    positives only admit extra pairs into the exact computation; any pair
+    passing the threshold is a true prefix candidate anyway (the filter
+    theorem), so the output is exact regardless.  A size filter
+    (t·|A| <= |B| <= |A|/t) prunes candidates before the Bloom.
 
     All exchanges derive their bucket counts from data size."""
+    import pickle
+
+    import ray
+
+    from katydid_haskell_ray.state.reduce import tree_reduce
     from katydid_haskell_ray.stages.exchange import (
         bucket_map_groups, resolve_exchange)
-    from katydid_haskell_ray.stages.join import hash_join
 
-    def prefix_rows(batch: pa.Table) -> pa.Table:
+    def _postings(batch: pa.Table, prefix_only: bool) -> pa.Table:
         texts = batch.column(col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         flat, offsets = flat_shingle_hashes(texts, shingle)
@@ -485,69 +494,109 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
         df = (pd.DataFrame({"r": row, "h": flat.view(np.int64)})
               .drop_duplicates().sort_values(["r", "h"], kind="mergesort"))
         sizes = df.groupby("r")["h"].transform("size").to_numpy()
-        rank = df.groupby("r").cumcount().to_numpy()
-        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
-        kept = df[rank < plen]
+        if prefix_only:
+            rank = df.groupby("r").cumcount().to_numpy()
+            plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+            keep = rank < plen
+            df, sizes = df[keep], sizes[keep]
         return pa.table({
-            "sh": pa.array(kept["h"].to_numpy(), type=pa.int64()),
-            id_col: pa.array(ids[kept["r"].to_numpy()], type=pa.int64()),
+            "sh": pa.array(df["h"].to_numpy(), type=pa.int64()),
+            id_col: pa.array(ids[df["r"].to_numpy()], type=pa.int64()),
+            "sz": pa.array(sizes, type=pa.int64()),
             # the shingle hash IS the full-range bucket hash
-            "__bucket": pa.array(kept["h"].to_numpy().view(np.uint64))})
+            "__bucket": pa.array(df["h"].to_numpy().view(np.uint64))})
 
+    def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # order-sensitive combine (a < b always) — a plain xor would
+        # collide (a,b) with (b,a) and waste Bloom bits
+        return (SK.hash64_array(a) * np.uint64(0x9E3779B97F4A7C15)
+                ^ SK.hash64_array(b))
+
+    # ---- stage 1: prefix postings -> size-filtered candidate pairs ----
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[["sh", id_col]]
+        g = g[["sh", id_col, "sz"]]
         m = g.merge(g, on="sh")
         a = m[f"{id_col}_x"].to_numpy()
         b = m[f"{id_col}_y"].to_numpy()
-        keep = a < b
+        sa = m["sz_x"].to_numpy()
+        sb = m["sz_y"].to_numpy()
+        # size filter: J >= t forces t*|A| <= |B| <= |A|/t
+        keep = (a < b) & (sb >= threshold * sa) & (sa >= threshold * sb)
         return (pd.DataFrame({"a": a[keep], "b": b[keep]})
                 .drop_duplicates())
 
     prefixed = ds.select_columns([id_col, col]).map_batches(
-        prefix_rows, batch_format="pyarrow")
+        lambda t: _postings(t, True), batch_format="pyarrow")
     mat, nb, max_b = resolve_exchange(prefixed)
     cand = bucket_map_groups(mat, bucket_pairs, n_buckets=nb, modular=True,
-                             max_bucket_bytes=max_b)
+                             max_bucket_bytes=max_b).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "j_micro": pa.array([], type=pa.int64())}))
 
-    # same pair can surface from different prefix shingles: pair-keyed dedup
+    # Bloom of candidate pair keys, per-block partials merged tree-wise
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bl = SK.Bloom(max(1024, 2 * n_pairs), 1e-3)
+        bl.add_hashes(_pair_key(t.column("a"), t.column("b")))
+        return pa.table({"blob": pa.array([pickle.dumps(bl, protocol=5)],
+                                          type=pa.binary())})
+
+    blooms = [pickle.loads(r["blob"]) for r in
+              cand.map_batches(bloom_partial,
+                               batch_format="pyarrow").take_all()]
+    bloom_ref = ray.put(tree_reduce(blooms, lambda x, y: x.merge(y)))
+
+    # ---- stage 2: FULL postings -> per-pair common-shingle counts ----
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bloom = ray.get(bloom_ref)
+        g = g[["sh", id_col, "sz"]]
+        m = g.merge(g, on="sh")
+        a = m[f"{id_col}_x"].to_numpy()
+        b = m[f"{id_col}_y"].to_numpy()
+        keep = a < b
+        a, b = a[keep], b[keep]
+        sa = m["sz_x"].to_numpy()[keep]
+        sb = m["sz_y"].to_numpy()[keep]
+        hit = bloom.contains_hashes(_pair_key(a, b))
+        d = pd.DataFrame({"a": a[hit], "b": b[hit],
+                          "sa": sa[hit], "sb": sb[hit]})
+        return (d.groupby(["a", "b", "sa", "sb"], as_index=False)
+                .size().rename(columns={"size": "inter"}))
+
+    full = ds.select_columns([id_col, col]).map_batches(
+        lambda t: _postings(t, False), batch_format="pyarrow")
+    mat2, nb2, max_b2 = resolve_exchange(full)
+    counted = bucket_map_groups(mat2, count_pairs, n_buckets=nb2,
+                                modular=True, max_bucket_bytes=max_b2)
+
+    # ---- stage 3: pair-keyed sum of counts -> exact J ----
     def pair_bucket(t: pa.Table) -> pa.Table:
-        h = SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b"))
-        return t.append_column("__bucket", pa.array(h))
+        return t.append_column(
+            "__bucket", pa.array(_pair_key(t.column("a"), t.column("b"))))
 
-    mat2, nb2, max_b2 = resolve_exchange(
-        cand.map_batches(pair_bucket, batch_format="pyarrow"))
-    pairs = bucket_map_groups(
-        mat2, lambda g: g[["a", "b"]].drop_duplicates(),
-        n_buckets=nb2, modular=True, max_bucket_bytes=max_b2).materialize()
-
-    texts_ds = ds.map_batches(lambda t: t.select([id_col, col]),
-                              batch_format="pyarrow")
-    p1 = pairs.map_batches(
-        lambda t: pa.table({id_col: t.column("a"), "b": t.column("b")}),
-        batch_format="pyarrow")
-    j1 = hash_join(p1, texts_ds, key=id_col, left_cols=["b"],
-                   right_cols=[col]).materialize()
-    p2 = j1.map_batches(
-        lambda t: pa.table({"a": t.column(id_col), id_col: t.column("b"),
-                            "text_a": t.column(col)}),
-        batch_format="pyarrow")
-    j2 = hash_join(p2, texts_ds, key=id_col, left_cols=["a", "text_a"],
-                   right_cols=[col])
-
-    def verify(t: pa.Table) -> pa.Table:
-        inter, un = _jaccard_flat(t.column("text_a").to_pylist(),
-                                  t.column(col).to_pylist(), shingle)
-        # oracle division form; un == 0 pairs (both empty) are dropped on
-        # BOTH sides (SQL filters un > 0)
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["a", "b", "sa", "sb"], as_index=False)["inter"]
+             .sum())
+        inter = s["inter"].to_numpy()
+        un = s["sa"].to_numpy() + s["sb"].to_numpy() - inter
         safe = np.maximum(un, 1)
+        # oracle division form; un == 0 (both empty) excluded on BOTH
+        # sides (SQL filters un > 0)
         keep = (un > 0) & (inter / safe >= threshold)
-        jm = np.floor(1e6 * inter / safe).astype(np.int64)
-        return pa.table({
-            "a": t.column("a").filter(pa.array(keep)),
-            "b": t.column(id_col).filter(pa.array(keep)),
-            "j_micro": pa.array(jm[keep], type=pa.int64())})
+        out = s[keep]
+        return pd.DataFrame({
+            "a": out["a"].to_numpy(),
+            "b": out["b"].to_numpy(),
+            "j_micro": np.floor(1e6 * inter[keep] / safe[keep])
+            .astype(np.int64)})
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    mat3, nb3, max_b3 = resolve_exchange(
+        counted.map_batches(pair_bucket, batch_format="pyarrow"))
+    return bucket_map_groups(mat3, finish, n_buckets=nb3, modular=True,
+                             max_bucket_bytes=max_b3)
 
 
 def _edit_distance_le1(a: str, b: str) -> bool:

@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_dup_xphash": Q.caption_dup_xphash,
         "parts_semi_heavy": Q.parts_semi_heavy,
         "png_only_captions": Q.png_only_captions,
+        "png_and_jpeg_captions": Q.png_and_jpeg_captions,
+        "knn_ivf_persisted": Q.knn_ivf_persisted,  # rows-only (approx ANN)
         "events_gap_quantiles": Q.events_gap_quantiles,
         "lang_top_docs_concat": Q.lang_top_docs_concat,
         "docs_percent_rank": Q.docs_percent_rank,
@@ -845,6 +847,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT caption FROM {_IMAGES}
             WHERE fmt = 'png' AND caption IS NOT NULL
             EXCEPT
+            SELECT DISTINCT caption FROM {_IMAGES}
+            WHERE fmt = 'jpeg' AND caption IS NOT NULL
+        """,
+        "png_and_jpeg_captions": f"""
+            SELECT DISTINCT caption FROM {_IMAGES}
+            WHERE fmt = 'png' AND caption IS NOT NULL
+            INTERSECT
             SELECT DISTINCT caption FROM {_IMAGES}
             WHERE fmt = 'jpeg' AND caption IS NOT NULL
         """,

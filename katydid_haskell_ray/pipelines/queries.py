@@ -817,6 +817,23 @@ def knn_ivf(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 
+def knn_ivf_persisted(sf_dir: str):
+    """IVF top-k against a PERSISTED cell-partitioned index (no oracle —
+    approximate): builds the hive-partitioned layout once per sf under
+    /tmp (skipped when present — the build-once/resume story), then
+    queries by reading ONLY the probed ``cell=`` directories.  Equality
+    with the in-memory IVF under shared centroids is pytest-verified."""
+    import os
+
+    index_dir = f"/tmp/graft_ivf/v1/{_sf_name(sf_dir)}"
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        SIM.build_ivf_index(ds, index_dir, n_centroids=32)
+    qids, qvecs = _query_vecs(sf_dir)
+    out = SIM.knn_topk_ivf_persisted(index_dir, qids, qvecs, k=5, nprobe=8)
+    return out[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
 def knn_join_docs(sf_dir: str):
     """Exact k-NN join over the embeddings table: each vector's top-3
     cosine neighbors (stages/similarity.py:knn_join), rank-oracle-checked
@@ -1634,6 +1651,26 @@ def parts_semi_heavy(sf_dir: str):
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
     return hash_join(part, line, key="p_partkey",
                      left_cols=["p_name"], right_cols=[], how="left_semi")
+
+
+def png_and_jpeg_captions(sf_dir: str):
+    """Set intersection (INTERSECT): distinct captions appearing under
+    BOTH png and jpeg images — two distinct-value exchanges + the
+    distributed semi join (EXCEPT's sibling, png_only_captions)."""
+    from katydid_haskell_ray.stages.join import hash_join
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["caption", "fmt"])
+
+    def only(fmt: str):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.and_kleene(pc.equal(t.column("fmt"), fmt),
+                                 pc.is_valid(t.column("caption")))
+            return t.filter(pc.fill_null(keep, False)).select(["caption"])
+        return K.distinct_values(ds.map_batches(f, batch_format="pyarrow"),
+                                 "caption")
+
+    return hash_join(only("png"), only("jpeg"), key="caption",
+                     left_cols=[], right_cols=[], how="left_semi")
 
 
 def png_only_captions(sf_dir: str):

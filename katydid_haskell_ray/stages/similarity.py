@@ -256,6 +256,106 @@ def knn_topk_ivf(ds, query_ids, query_vecs: np.ndarray, *, k: int = 10,
     return out.reset_index(drop=True)
 
 
+def build_ivf_index(ds, out_dir: str, *, n_centroids: int = 64,
+                    col: str = "embedding", id_col: str = "vec_id",
+                    centroids: np.ndarray | None = None) -> np.ndarray:
+    """Materialize the IVF 'build once, query many' layout: assign every
+    row to its nearest coarse centroid and write the table as
+    hive-partitioned parquet (``cell=<c>/`` directories) plus the
+    centroid matrix — the partitioning assumption knn_topk_ivf documents,
+    made real.  Queries then read ONLY their nprobe cell directories:
+    the probe prunes whole partitions at the storage layer, so a query
+    touches nprobe/C of the corpus bytes.  Output is partitioned
+    (resumable / independently rewritable per cell); centroids persist
+    alongside so later sessions query without retraining."""
+    import os
+
+    if centroids is None:
+        centroids = train_centroids(ds, n_centroids=n_centroids, col=col,
+                                    id_col=id_col)
+    cref = ray.put(centroids)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        m = _normalize(_embed_matrix(b, col))
+        cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        return b.append_column("cell", pa.array(cell))
+
+    (ds.select_columns([id_col, col])
+     .map_batches(assign, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["cell"]))
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def knn_topk_ivf_persisted(index_dir: str, query_ids, query_vecs, *,
+                           k: int = 10, nprobe: int = 8,
+                           col: str = "embedding", id_col: str = "vec_id"):
+    """Query a build_ivf_index layout: load the persisted centroids, take
+    the UNION of the queries' nprobe cells, and read ONLY those ``cell=``
+    directories — partition pruning at the read, the at-scale win the
+    in-memory knn_topk_ivf can only simulate.  Scoring masks each row
+    (its cell comes back from the hive partition column) to the queries
+    probing its cell; results are identical to knn_topk_ivf under the
+    same centroids."""
+    import os
+
+    import pandas as pd
+    from ray.data.datasource.partitioning import (
+        Partitioning, PathPartitionFilter)
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    qc = qmat @ centroids.T
+    nprobe = min(nprobe, centroids.shape[0])
+    probe = np.argsort(-qc, axis=1)[:, :nprobe]
+    cellset = {str(c) for c in set(probe.ravel().tolist())}
+    # ONLY the probed cell= partitions are opened: non-matching files are
+    # pruned by path before any byte is read (kv.get: the centroids.npy
+    # sidecar carries no partition key and must filter out too)
+    sub = ray.data.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv.get("cell") in cellset, style="hive",
+            base_dir=index_dir),
+        partitioning=Partitioning("hive", base_dir=index_dir))
+    state_ref = ray.put({"qids": list(query_ids), "qmat": qmat,
+                         "probe": probe})
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        qids, qmat_b, probe_b = st["qids"], st["qmat"], st["probe"]
+        m = _normalize(_embed_matrix(batch, col))
+        # hive partition values come back as strings
+        cell = batch.column("cell").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sims = m @ qmat_b.T
+        for qi in range(len(qids)):
+            sims[~np.isin(cell, probe_b[qi]), qi] = -np.inf
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col_s = sims[:, qi]
+            rows = np.nonzero(np.isfinite(col_s))[0]
+            if not len(rows):
+                continue
+            order = rows[np.argsort(-col_s[rows])[:k]]
+            out_q.extend([qids[qi]] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(col_s[order].astype(np.float64).tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         id_col: pa.array(out_id),
+                         "sim": pa.array(out_sim, type=pa.float64())})
+
+    local = sub.map_batches(score, batch_format="pyarrow").to_pandas()
+    local["sim"] = local["sim"].round(6)
+    local = local.sort_values(["query_id", "sim", id_col],
+                              ascending=[True, False, True])
+    out = local.groupby("query_id", as_index=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
 def _iter_chunks(chunk_refs):
     """Stream the packed (id, vec) blocks: ``ray.get`` ONE chunk per
     iteration as a zero-copy object-store view and yield (ids, matrix).

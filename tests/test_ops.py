@@ -676,3 +676,29 @@ def test_edit1_near_pairs_vs_bruteforce(ray_session):
             if lev(a, b) <= 1}
     assert gset == want, gset ^ want
     assert want  # planted edits guarantee a non-trivial pair set
+
+
+def test_ivf_persisted_matches_inmemory(ray_session, sf_dir, tmp_path):
+    """The persisted cell-partitioned IVF index must return exactly the
+    in-memory IVF results under shared centroids, while reading only the
+    probed cell= directories."""
+    import os
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = SIM.train_centroids(ds, n_centroids=16)
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(ds, idx, centroids=cents)
+    # layout: hive cell dirs + persisted centroids
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) > 1 and os.path.exists(os.path.join(idx, "centroids.npy"))
+
+    tab = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sel = tab[tab["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    qids, qvecs = sel["vec_id"].tolist(), np.stack(sel["embedding"].to_numpy())
+    mem = SIM.knn_topk_ivf(ds, qids, qvecs, k=5, nprobe=6, centroids=cents,
+                           concurrency=2)
+    per = SIM.knn_topk_ivf_persisted(idx, qids, qvecs, k=5, nprobe=6)
+    pd.testing.assert_frame_equal(
+        mem[["query_id", "vec_id", "rank"]].reset_index(drop=True),
+        per[["query_id", "vec_id", "rank"]].reset_index(drop=True))

@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_only_captions": Q.png_only_captions,
         "png_and_jpeg_captions": Q.png_and_jpeg_captions,
         "knn_ivf_persisted": Q.knn_ivf_persisted,  # rows-only (approx ANN)
+        "docs_top_tokens_approx": Q.docs_top_tokens_approx,  # rows-only (CMS)
         "events_gap_quantiles": Q.events_gap_quantiles,
         "lang_top_docs_concat": Q.lang_top_docs_concat,
         "docs_percent_rank": Q.docs_percent_rank,

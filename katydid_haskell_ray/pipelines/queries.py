@@ -228,6 +228,49 @@ def docs_top_bigrams(sf_dir: str, k: int = 20):
     return out.astype({"n": np.int64})
 
 
+def docs_top_tokens_approx(sf_dir: str, k: int = 20):
+    """Heavy hitters via Count-Min sketch (rows-only: approximate by
+    design; the exact twin is docs_top_tokens and the pytest bounds the
+    sketch error).  Per block: ONE CMS partial (fixed d x w counters)
+    plus the block's local top-64 candidate tokens; the driver
+    tree-reduces the sketches (elementwise sum) and ranks the candidate
+    union by CMS estimate — exchange volume is O(blocks x sketch), fully
+    independent of vocabulary size, the survival property the exact
+    bucketed-count exchange lacks at 10^12-token vocabularies."""
+    import pickle
+
+    from katydid_haskell_ray.state import sketches as SK
+    from katydid_haskell_ray.state.reduce import tree_reduce
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from katydid_haskell_ray.state import sketches as SK
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(b.column("text").drop_null()))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        vals = vc.field("values").to_pandas().to_numpy()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cms = SK.CountMin().add_hashes(SK.hash64_array(vals), cnts)
+        top = np.argsort(-cnts, kind="stable")[:64]
+        return pa.table({
+            "blob": pa.array([pickle.dumps(cms, protocol=5)],
+                             type=pa.binary()),
+            "cand": pa.array([vals[top].tolist()])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cms = tree_reduce([pickle.loads(r["blob"]) for r in parts],
+                      lambda x, y: x.merge(y))
+    cand = sorted({t for r in parts for t in r["cand"]})
+    cand_arr = np.array(cand, dtype=object)
+    est = cms.estimate(SK.hash64_array(cand_arr))
+    order = np.lexsort((cand_arr, -est))[:k]
+    return pd.DataFrame({"token": cand_arr[order].astype(str),
+                         "n_est": est[order].astype(np.int64)})
+
+
 def distinct_users(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id"])
     n = K.exact_distinct_count(ds, "user_id")

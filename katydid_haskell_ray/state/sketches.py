@@ -281,6 +281,48 @@ class Bloom:
         return self
 
 
+class CountMin:
+    """Count-Min sketch over 64-bit hashes: d x w counter matrix, double
+    hashing row positions, estimate = min over rows (one-sided: NEVER an
+    underestimate).  Mergeable by elementwise sum — the per-block partial /
+    tree-reduce frequency sketch for heavy-hitter candidates whose exact
+    twin is the bucketed count exchange (queries.docs_top_tokens)."""
+
+    __slots__ = ("w", "d", "counts")
+
+    def __init__(self, w: int = 1 << 14, d: int = 4):
+        self.w = 1 << int(np.ceil(np.log2(max(64, w))))  # pow2 for mask
+        self.d = d
+        self.counts = np.zeros((d, self.w), dtype=np.int64)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64, copy=False)
+        h1 = h
+        h2 = (h >> np.uint64(32)) | (h << np.uint64(32)) | np.uint64(1)
+        i = np.arange(self.d, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                & np.uint64(self.w - 1)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray,
+                   weights: np.ndarray | None = None) -> "CountMin":
+        pos = self._positions(h)
+        w = np.ones(len(h), dtype=np.int64) if weights is None else weights
+        for r in range(self.d):
+            np.add.at(self.counts[r], pos[r], w)
+        return self
+
+    def estimate(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(h)
+        return np.min(np.stack([self.counts[r][pos[r]]
+                                for r in range(self.d)]), axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if not self.counts.flags.writeable:  # zero-copy from object store
+            self.counts = self.counts.copy()
+        self.counts += other.counts
+        return self
+
+
 # ---------------------------------------------------------------------------
 # MinHash + SimHash
 # ---------------------------------------------------------------------------

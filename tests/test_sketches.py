@@ -218,3 +218,41 @@ def test_stats_partials_tdigest_option(ray_session):
     assert isinstance(sk, TDigest)
     q = sk.quantiles([0.5])[0]
     assert 9.5 < q < 10.5
+
+
+def test_countmin_one_sided_and_mergeable():
+    """CMS never underestimates; merged partials estimate like one pass."""
+    import numpy as np
+    from katydid_haskell_ray.state import sketches as SK
+
+    rng = np.random.default_rng(11)
+    # zipf-ish token stream split into two halves
+    toks = np.array([f"t{int(z)}" for z in rng.zipf(1.5, 20000)], dtype=object)
+    h = SK.hash64_array(toks)
+    uniq, true = np.unique(toks.astype(str), return_counts=True)
+    hu = SK.hash64_array(uniq.astype(object))
+
+    one = SK.CountMin().add_hashes(h)
+    a = SK.CountMin().add_hashes(h[:10000])
+    b = SK.CountMin().add_hashes(h[10000:])
+    merged = a.merge(b)
+    assert (merged.counts == one.counts).all()
+    est = merged.estimate(hu)
+    assert (est >= true).all()  # one-sided error
+    # heavy hitters are exact: the top tokens dominate the noise floor
+    top_true = set(uniq[np.argsort(-true)[:10]])
+    top_est = set(uniq[np.argsort(-est)[:10]])
+    assert len(top_true & top_est) >= 8
+
+
+def test_docs_top_tokens_approx_vs_exact(ray_session, sf_dir):
+    """The CMS heavy-hitter query must reproduce the exact top-k on the
+    test corpus (estimates upper-bound the exact counts)."""
+    import __ray_entry__ as E
+
+    approx = E.queries()["docs_top_tokens_approx"](sf_dir)
+    exact = E.queries()["docs_top_tokens"](sf_dir)
+    ex = dict(zip(exact["token"], exact["n"]))
+    assert list(approx["token"]) == list(exact["token"])
+    for t, n_est in zip(approx["token"], approx["n_est"]):
+        assert n_est >= ex[t]

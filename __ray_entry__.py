@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_and_jpeg_captions": Q.png_and_jpeg_captions,
         "knn_ivf_persisted": Q.knn_ivf_persisted,  # rows-only (approx ANN)
         "docs_top_tokens_approx": Q.docs_top_tokens_approx,  # rows-only (CMS)
+        "doc_subword_stats": Q.doc_subword_stats,
         "events_gap_quantiles": Q.events_gap_quantiles,
         "lang_top_docs_concat": Q.lang_top_docs_concat,
         "docs_percent_rank": Q.docs_percent_rank,
@@ -675,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY key_nano, doc_id LIMIT 20
         """,
+        "doc_subword_stats": _subword_stats_sql(),
         "docs_drift_psi": """
             WITH b AS (SELECT least(n_chars // 256, 7) AS bin,
                               (lang = 'en') AS is_a
@@ -1042,6 +1044,21 @@ def _pii_scan_sql() -> str:
                 {counts}
             FROM aug)
         SELECT * FROM c WHERE n_emails + n_phones + n_ssns > 0
+    """
+
+
+def _subword_stats_sql() -> str:
+    from katydid_haskell_ray.functions.text import BPE_PRETOKEN_PATTERN
+
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return rf"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(
+                   COALESCE(text, ''), '\s+'), x -> x <> '')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(regexp_extract_all(COALESCE(text, ''), '{pat}'))
+                   AS BIGINT) AS n_subwords
+        FROM documents
     """
 
 

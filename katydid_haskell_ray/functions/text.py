@@ -36,6 +36,23 @@ def token_count(texts: pd.Series) -> np.ndarray:
     return texts.fillna("").str.split().str.len().to_numpy(dtype=np.int64)
 
 
+# GPT-2-style BPE PRE-tokenizer pattern, simplified to the RE2-compatible
+# subset (no lookarounds, no unicode property classes) so the SAME string
+# drives Python re AND the DuckDB oracle's regexp_extract_all — the
+# "token budget" estimator of an LLM data pipeline without a vocab file.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+_BPE_RE = re.compile(BPE_PRETOKEN_PATTERN)
+
+
+def subword_count(texts: pd.Series) -> np.ndarray:
+    """Number of BPE-pretokenizer pieces per text (vectorized pandas
+    str.count over the compiled pattern)."""
+    return (texts.fillna("").str.count(_BPE_RE)
+            .to_numpy(dtype=np.int64))
+
+
 def quality_metrics(texts: pd.Series) -> pd.DataFrame:
     """Deterministic quality features (SQL-reproducible arithmetic):
 

@@ -228,6 +228,22 @@ def docs_top_bigrams(sf_dir: str, k: int = 20):
     return out.astype({"n": np.int64})
 
 
+def doc_subword_stats(sf_dir: str):
+    """Per-doc token-budget estimate: whitespace tokens AND BPE-style
+    pretokenizer pieces (functions/text.py:BPE_PRETOKEN_PATTERN, the same
+    RE2-compatible pattern string the oracle's regexp_extract_all uses).
+    Pure vectorized per-batch kernels, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": TX.token_count(b["text"]),
+            "n_subwords": TX.subword_count(b["text"])})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def docs_top_tokens_approx(sf_dir: str, k: int = 20):
     """Heavy hitters via Count-Min sketch (rows-only: approximate by
     design; the exact twin is docs_top_tokens and the pytest bounds the

@@ -137,15 +137,25 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
     ray.shutdown()
     time.sleep(3)
 
-    out = {}
+    # this host's ambient neighbor noise swings identical runs up to ~2x
+    # (four consecutive 8-cpu legs measured 41.7/79.3/59.2/42.9 s); with
+    # GRAFT_SCALING_REPEATS > 1 each leg runs R times and the MINIMUM is
+    # used — the standard least-interference estimator, since noise only
+    # ever ADDS time.  All raw legs are reported alongside.
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+    out, raw = {}, {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_HEADLINE_ONLY="1",
-                   GRAFT_BENCH_ROWS=str(n_rows))
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True,
-                              check=True)
-        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
-        time.sleep(5)  # let the previous cluster's workers fully exit
+        legs = []
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GRAFT_HEADLINE_ONLY="1", GRAFT_BENCH_ROWS=str(n_rows))
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  check=True)
+            legs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+            time.sleep(5)  # let the previous cluster's workers fully exit
+        out[n] = min(legs, key=lambda d: d["value"])
+        raw[n] = [d["value"] for d in legs]
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     thr_lo, thr_hi = out[lo]["images_per_sec"], out[hi]["images_per_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
@@ -156,6 +166,8 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
         "images_per_sec_lo": thr_lo, "images_per_sec_hi": thr_hi,
+        "raw_legs_sec": raw,
+        "repeats": repeats,
         "sf": out[hi]["sf"],
     }
 

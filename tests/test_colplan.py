@@ -170,3 +170,32 @@ def test_contains_field_lowered():
           expect_lowered=False)
     check({"main": {"contains": {"concat": [FIELD_W, FIELD_FMT]}}},
           expect_lowered=False)
+
+
+def test_meta_plus_bytes_grammar_equals_full():
+    """The metadata/bytes scan split must be semantics-preserving: the
+    full IMAGES_GRAMMAR verdict equals the conjunction of the
+    bytes-pruned IMAGES_META_GRAMMAR verdict and the bytes-only
+    conjunct, on a corpus with injected anomalies."""
+    import numpy as np
+
+    from katydid_haskell_ray import colplan as CP
+    from katydid_haskell_ray import spec as S
+    from katydid_haskell_ray.pipelines.validate import (
+        IMAGES_GRAMMAR, IMAGES_META_GRAMMAR, METADATA_COLUMNS)
+    from katydid_haskell_ray.sources import synth_images as SI
+
+    batch = SI.make_batch(0, 400)  # includes anomaly rows
+    full = CP.validate_batch(S.compile_spec(IMAGES_GRAMMAR), batch)
+    meta = CP.validate_batch(S.compile_spec(IMAGES_META_GRAMMAR),
+                             batch.select(METADATA_COLUMNS))
+    bytes_g = {"main": {"interleave": [
+        {"field": "bytes", "child": {"leaf": {
+            "func": "gt",
+            "args": [{"func": "length", "args": [{"var": "bytes"}]},
+                     {"int": 8}]}}},
+        {"star": "zany"}]}}
+    byt = CP.validate_batch(S.compile_spec(bytes_g),
+                            batch.select(["image_id", "bytes"]))
+    assert (full == (meta & byt)).all()
+    assert not full.all() and full.any()  # anomalies present, both ways

@@ -32,13 +32,14 @@ import pyarrow as pa
 _EDGE, _LABEL, _MSG = 0, 1, 2
 
 
-def _bucket_of(ids: np.ndarray, n_buckets: int) -> np.ndarray:
-    return (ids.astype(np.int64).view(np.uint64)
-            % np.uint64(n_buckets)).astype(np.int32)
+def _bucket_of(ids: np.ndarray) -> np.ndarray:
+    # FULL-RANGE hash: the exchange takes it mod a per-round bucket count
+    # derived from the materialized state size (modular exchange)
+    return ids.astype(np.int64).view(np.uint64)
 
 
 def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
-                         n_buckets: int = 32, max_rounds: int = 50):
+                         n_buckets: int | None = None, max_rounds: int = 50):
     """Undirected edge Dataset -> materialized Dataset (node, label); label
     is the minimum node id of the node's component.  Every endpoint of every
     edge appears exactly once.  Raises if max_rounds is hit (graph deeper
@@ -50,7 +51,7 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
         bb = b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
         node = np.concatenate([a, bb])
         nbr = np.concatenate([bb, a])
-        bucket = _bucket_of(node, n_buckets)
+        bucket = _bucket_of(node)
         # EDGE rows (static adjacency), LABEL seeds (label=v, deduped in the
         # first per-bucket pass) and MSG seeds (each neighbor's id) share one
         # schema so every round is a single union -> groupby
@@ -76,7 +77,7 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
         merged = lab.merge(cand, on="node", suffixes=("_old", "_new"))
         ch = merged["val_new"].to_numpy() < merged["val_old"].to_numpy()
         parts = [pd.DataFrame({
-            "bucket": _bucket_of(merged["node"].to_numpy(), n_buckets),
+            "bucket": _bucket_of(merged["node"].to_numpy()),
             "tag": np.int8(_LABEL),
             "node": merged["node"].to_numpy(),
             "val": merged["val_new"].to_numpy(),
@@ -88,25 +89,34 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
                 "val": ed["val"].to_numpy(),
                 "changed": np.int8(0)})]
         if ch.any():
-            # changed nodes re-send their new label to every neighbor
+            # changed nodes re-send their new label to every neighbor —
+            # MIN-COMBINED per destination before leaving this bucket
+            # (min is associative), so a hot representative receives at
+            # most one message PER SENDING BUCKET per round, never its
+            # full degree in one reduce task
             send = ed.merge(merged.loc[ch, ["node", "val_new"]], on="node")
-            nbrs = send["val"].to_numpy()
+            m = (pd.DataFrame({"node": send["val"].to_numpy(),
+                               "val": send["val_new"].to_numpy()})
+                 .groupby("node", as_index=False)["val"].min())
             parts.append(pd.DataFrame({
-                "bucket": _bucket_of(nbrs, n_buckets),
+                "bucket": _bucket_of(m["node"].to_numpy()),
                 "tag": np.int8(_MSG),
-                "node": nbrs,
-                "val": send["val_new"].to_numpy(),
+                "node": m["node"].to_numpy(),
+                "val": m["val"].to_numpy(),
                 "changed": np.int8(0)}))
         out = pd.concat(parts, ignore_index=True)
-        out["bucket"] = out["bucket"].astype(np.int32)
+        out["bucket"] = out["bucket"].astype(np.uint64)
         return out
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
 
     state = edges.map_batches(seed, batch_format="pyarrow")
     for rnd in range(max_rounds):
-        state = bucket_map_groups(state, step, n_buckets=n_buckets,
-                                  bucket_col="bucket").materialize()
+        mat, nb, max_b = resolve_exchange(state, n_buckets)
+        state = bucket_map_groups(mat, step, n_buckets=nb,
+                                  bucket_col="bucket", modular=True,
+                                  max_bucket_bytes=max_b).materialize()
         if rnd == 0:
             continue  # seed LABELs start changed=0; one real round first
         changed = state.aggregate(Sum("changed", alias_name="c"))["c"]

@@ -47,54 +47,57 @@ def add_content_hash(batch: pa.Table, col: str = "text",
 
 
 def exact_dedupe(ds, col: str = "text", id_col: str = "doc_id",
-                 n_buckets: int = 64):
+                 n_buckets: int | None = None):
     """Keep the first (min id) row per distinct content hash.
 
     Equality is by 64-bit content hash (collision odds ~n²/2⁶⁵ — negligible
     at any real scale; use a 128-bit hash if that ever matters).  Shuffles
     only per-batch (hash, min id) partials through the coarse-bucket
     exchange — the payload column is dropped before the exchange and
-    survivors are identified by id."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    survivors are identified by id.  The partial stream grows with
+    distinct content, so the bucket count is data-derived."""
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
 
     def partial(b: pa.Table) -> pa.Table:
         t = add_content_hash(b, col).select([id_col, "content_hash"])
         df = t.to_pandas().groupby("content_hash", as_index=False)[id_col].min()
-        bk = (df["content_hash"].to_numpy().view(np.uint64)
-              % np.uint64(n_buckets)).astype(np.int32)
-        return pa.Table.from_pandas(df.assign(bucket=bk),
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            df.assign(__bucket=df["content_hash"].to_numpy().view(np.uint64)),
+            preserve_index=False)
 
     hashed = ds.map_batches(partial, batch_format="pyarrow")
+    mat, nb, max_b = resolve_exchange(hashed, n_buckets)
     keep = bucket_map_groups(
-        hashed,
-        lambda g: g.groupby("content_hash", as_index=False)[id_col].min(),
-        n_buckets=n_buckets, bucket_col="bucket")
+        mat, lambda g: g.groupby("content_hash", as_index=False)[id_col].min(),
+        n_buckets=nb, modular=True, max_bucket_bytes=max_b)
     return keep.select_columns([id_col])
 
 
-def dup_group_sizes(ds, col: str = "text", n_buckets: int = 64):
+def dup_group_sizes(ds, col: str = "text", n_buckets: int | None = None):
     """(content_hash, n_copies) for groups with more than one row —
-    per-batch count partials through the coarse-bucket exchange."""
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    per-batch count partials through the coarse-bucket exchange
+    (data-derived bucket count: the distinct-hash stream grows)."""
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
 
     def partial(b: pa.Table) -> pa.Table:
         t = add_content_hash(b, col).select(["content_hash"])
         df = (t.to_pandas().groupby("content_hash", as_index=False)
               .size().rename(columns={"size": "cnt"}))
-        bk = (df["content_hash"].to_numpy().view(np.uint64)
-              % np.uint64(n_buckets)).astype(np.int32)
-        return pa.Table.from_pandas(df.assign(bucket=bk),
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            df.assign(__bucket=df["content_hash"].to_numpy().view(np.uint64)),
+            preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("content_hash", as_index=False)["cnt"].sum()
         return (s[s["cnt"] > 1]
                 .rename(columns={"cnt": "n_copies"}))
 
-    return bucket_map_groups(ds.map_batches(partial, batch_format="pyarrow"),
-                             per_bucket, n_buckets=n_buckets,
-                             bucket_col="bucket")
+    bucketed = ds.map_batches(partial, batch_format="pyarrow")
+    mat, nb, max_b = resolve_exchange(bucketed, n_buckets)
+    return bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)
 
 
 # ---------------------------------------------------------------------------
@@ -310,11 +313,13 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
 
     # grouping on (band, band_hash) directly would create ~n*bands mostly-
     # singleton groups (per-group overhead dominates); exchange on a COARSE
-    # n_buckets-way bucket of the band hash and pair up within buckets
-    # using vectorized pandas — same exchange volume, C-speed reduce
+    # bucket of the band hash and pair up within buckets using vectorized
+    # pandas — same exchange volume, C-speed reduce.  The band stream is
+    # n x bands rows (grows with the corpus), so the bucket count is
+    # data-derived (resolve_exchange).
     def add_bucket(t: pa.Table) -> pa.Table:
         b = (t.column("band_hash").to_numpy(zero_copy_only=False)
-             .view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+             .view(np.uint64))
         return t.append_column("bucket", pa.array(b))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -328,10 +333,13 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                              "b": hits[id_col].to_numpy()}
                             ).drop_duplicates()
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    band_mat, band_nb, band_max = resolve_exchange(
+        band_ds.map_batches(add_bucket, batch_format="pyarrow"))
     cand = bucket_map_groups(
-        band_ds.map_batches(add_bucket, batch_format="pyarrow"),
-        bucket_pairs, n_buckets=n_buckets, bucket_col="bucket").materialize()
+        band_mat, bucket_pairs, n_buckets=band_nb, bucket_col="bucket",
+        modular=True, max_bucket_bytes=band_max).materialize()
     ids_ds = ds.map_batches(lambda t: t.select([id_col]),
                             batch_format="pyarrow")
     n_pairs = cand.count()
@@ -395,13 +403,14 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
     # on the pair itself
     def pair_bucket(t: pa.Table) -> pa.Table:
         h = (SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b")))
-        return t.append_column(
-            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+        return t.append_column("bucket", pa.array(h))
 
+    pmat, pnb, pmax = resolve_exchange(
+        cand.map_batches(pair_bucket, batch_format="pyarrow"))
     pairs = bucket_map_groups(
-        cand.map_batches(pair_bucket, batch_format="pyarrow"),
-        lambda g: g[["a", "b"]].drop_duplicates(),
-        n_buckets=n_buckets, bucket_col="bucket").materialize()
+        pmat, lambda g: g[["a", "b"]].drop_duplicates(),
+        n_buckets=pnb, bucket_col="bucket", modular=True,
+        max_bucket_bytes=pmax).materialize()
 
     # hash-join each pair to its two texts (pairs and candidate texts only —
     # non-candidate payload never enters an exchange)
@@ -716,7 +725,7 @@ def simhash_near_pairs(ds, *, id_col: str = "doc_id", col: str = "text",
 
 
 def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
-                       max_hamming: int = 3, n_buckets: int = 64):
+                       max_hamming: int = 3, n_buckets: int | None = None):
     """EXACT all-pairs within Hamming distance <= max_hamming over a 64-bit
     fingerprint column (phash, simhash) — every qualifying pair, not the
     star-per-bucket approximation this module used to ship for simhash.
@@ -761,7 +770,8 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
                       id_col: pa.array(np.tile(ids, n_chunks)),
                       fp_col: pa.array(np.tile(s, n_chunks),
                                        type=pa.int64())})
-        b = ((vals * 1315423911 + chunks) % n_buckets).astype(np.int32)
+        b = (vals.view(np.uint64) * np.uint64(1315423911)
+             + chunks.astype(np.uint64))
         return t.append_column("bucket", pa.array(b))
 
     import pandas as _pd
@@ -792,20 +802,23 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
         # dedup exchange below removes those globally
         return out.drop_duplicates()
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    pairs = bucket_map_groups(
-        fp.map_batches(chunk_rows, batch_format="pyarrow"),
-        bucket_pairs, n_buckets=n_buckets, bucket_col="bucket")
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    cmat, cnb, cmax = resolve_exchange(
+        fp.map_batches(chunk_rows, batch_format="pyarrow"), n_buckets)
+    pairs = bucket_map_groups(cmat, bucket_pairs, n_buckets=cnb,
+                              bucket_col="bucket", modular=True,
+                              max_bucket_bytes=cmax)
 
     def pair_bucket(t: pa.Table) -> pa.Table:
-        h = (SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b"))) \
-            % np.uint64(n_buckets)
-        return t.append_column("__bucket", pa.array(h.astype(np.int32)))
+        h = SK.hash64_array(t.column("a")) ^ SK.hash64_array(t.column("b"))
+        return t.append_column("__bucket", pa.array(h))
 
+    dmat, dnb, dmax = resolve_exchange(
+        pairs.map_batches(pair_bucket, batch_format="pyarrow"))
     dedup = bucket_map_groups(
-        pairs.map_batches(pair_bucket, batch_format="pyarrow"),
-        lambda g: g.drop(columns="__bucket").drop_duplicates(),
-        n_buckets=n_buckets)
+        dmat, lambda g: g.drop(columns="__bucket").drop_duplicates(),
+        n_buckets=dnb, modular=True, max_bucket_bytes=dmax)
     return dedup
 
 

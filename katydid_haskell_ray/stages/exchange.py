@@ -204,13 +204,28 @@ def salted_group_sum(rows, keys: list[str], *, n_salt: int = 8,
         keys, n_buckets=min(n_buckets, 16))
 
 
-def bucket_cogroup(left, right, fn, *, n_buckets: int,
-                   bucket_col: str = "__bucket"):
+def bucket_cogroup(left, right, fn, *, n_buckets: int | None = None,
+                   bucket_col: str = "__bucket", modular: bool = False,
+                   target_bytes: int | None = None):
     """Two-sided keyed exchange: per bucket, ``fn(left_df, right_df)`` on
     the two sides' concatenated rows as pandas frames (typed — the sides
     never union, so there is no schema null-fill or int->float coercion).
-    Both inputs must already carry int32 ``bucket_col``.  Returns a
+    Both inputs must already carry ``bucket_col`` (int32 in range, or a
+    full-range uint64 hash with ``modular=True``).  ``n_buckets=None``
+    (requires modular) derives the count from BOTH sides' materialized
+    bytes and asserts the per-bucket byte bound — joins ship whole
+    projected rows, so their fan-out must grow with the data.  Returns a
     Dataset of fn's outputs."""
+    lmat = left.materialize()
+    rmat = right.materialize()
+    max_bucket_bytes = None
+    if n_buckets is None:
+        if not modular:
+            raise ValueError("auto-sized cogroup requires modular=True")
+        tb = target_bytes or DEFAULT_TARGET_BUCKET_BYTES
+        sz = (lmat.size_bytes() or 0) + (rmat.size_bytes() or 0)
+        n_buckets = int(min(65536, max(8, -(-sz // tb))))
+        max_bucket_bytes = BUCKET_SKEW_FACTOR * max(tb, -(-sz // n_buckets))
     split = ray.remote(num_returns=n_buckets)(_split_block)
 
     @ray.remote
@@ -219,6 +234,13 @@ def bucket_cogroup(left, right, fn, *, n_buckets: int,
         # receives a 0-column frame for it and decides the semantics
         lt = [s for s in shards[:nl] if s.num_columns]
         rt = [s for s in shards[nl:] if s.num_columns]
+        if max_bucket_bytes is not None:
+            total = sum(s.nbytes for s in lt) + sum(s.nbytes for s in rt)
+            if total > max_bucket_bytes:
+                raise AssertionError(
+                    f"cogroup bucket exceeds sizing bound: {total} bytes > "
+                    f"{max_bucket_bytes} (skew factor {BUCKET_SKEW_FACTOR}x)"
+                    " — salt the key or raise target_bytes")
         ldf = (pa.concat_tables(lt, promote_options="default").to_pandas()
                if lt else pd.DataFrame())
         rdf = (pa.concat_tables(rt, promote_options="default").to_pandas()
@@ -226,10 +248,10 @@ def bucket_cogroup(left, right, fn, *, n_buckets: int,
         out = fn(ldf, rdf)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    lrefs = left.materialize().to_arrow_refs()
-    rrefs = right.materialize().to_arrow_refs()
-    lparts = [split.remote(r, bucket_col, n_buckets) for r in lrefs]
-    rparts = [split.remote(r, bucket_col, n_buckets) for r in rrefs]
+    lrefs = lmat.to_arrow_refs()
+    rrefs = rmat.to_arrow_refs()
+    lparts = [split.remote(r, bucket_col, n_buckets, modular) for r in lrefs]
+    rparts = [split.remote(r, bucket_col, n_buckets, modular) for r in rrefs]
     outs = [reduce_bucket.remote(len(lparts),
                                  *[p[k] for p in lparts + rparts])
             for k in range(n_buckets)]

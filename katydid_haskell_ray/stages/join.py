@@ -27,7 +27,7 @@ from katydid_haskell_ray.state import sketches as SK
 
 
 def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
-              right_cols: list[str], n_buckets: int = 64,
+              right_cols: list[str], n_buckets: int | None = None,
               how: str = "inner"):
     """Partitioned hash join of two Datasets on ``key`` (a column name or
     a list of columns — composite keys hash as a tuple).
@@ -48,7 +48,9 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
     Arrow schema end-to-end (no null-fill, no int->float coercion for
     inner/anti joins; a left/outer merge still NaN-fills unmatched right
     columns, which is the semantics).  The per-bucket merge is one
-    C-speed pandas merge.
+    C-speed pandas merge.  The exchange ships whole projected rows, so
+    its bucket count is derived from both sides' materialized bytes
+    unless pinned (exchange.bucket_cogroup auto-sizing).
     """
     from katydid_haskell_ray.stages.exchange import bucket_cogroup
 
@@ -67,8 +69,7 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
             else:
                 h = pd.util.hash_pandas_object(
                     b.select(keys).to_pandas(), index=False).to_numpy()
-            h = h % np.uint64(n_buckets)
-            return b.append_column("__bucket", pa.array(h.astype(np.int32)))
+            return b.append_column("__bucket", pa.array(h.astype(np.uint64)))
         return f
 
     tagged_l = left.map_batches(tag(lcols), batch_format="pyarrow")
@@ -112,7 +113,7 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
         return ldf.merge(rdf, on=keys, how=how)
 
     return bucket_cogroup(tagged_l, tagged_r, merge_bucket,
-                          n_buckets=n_buckets)
+                          n_buckets=n_buckets, modular=True)
 
 
 def range_lookup(ds, *, value_col: str, lower: np.ndarray, upper: np.ndarray,

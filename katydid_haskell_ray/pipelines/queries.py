@@ -59,7 +59,7 @@ def images_parquet(sf_dir: str) -> str:
 
 
 def grouped_sum(ds, keys: list[str], sums: dict[str, str],
-                count_as: str | None, n_buckets: int = 64):
+                count_as: str | None, n_buckets: int | None = None):
     """Partial-aggregate per batch (pandas groupby), then a key-hash
     bucketed exchange over the tiny partial stream — the combiner-before-
     shuffle pattern on the raw-task exchange (Ray's sort-based groupby

@@ -485,28 +485,33 @@ def run_validation(images_path: str, out_dir: str, *,
              if states else {})
 
     # bucketed two-level dup aggregation (see stages.keys.duplicate_keys):
-    # coarse 64-bucket shuffle + pandas reduce per bucket — grouping on the
-    # raw key would hand the shuffle millions of groups
+    # coarse bucketed shuffle + pandas reduce per bucket — grouping on the
+    # raw key would hand the shuffle millions of groups; the (key, cnt)
+    # partial stream grows with distinct keys, so the bucket count is
+    # data-derived (exchange.resolve_exchange)
     import pandas as _pd
 
     def _bucket(batch: pa.Table) -> pa.Table:
         b = (batch.column("key").to_numpy(zero_copy_only=False)
-             .view("uint64") % 64).astype("int32")
+             .view("uint64"))
         return batch.append_column("bucket", pa.array(b))
 
     def _per_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
         s = g.groupby(["kind", "key"], as_index=False)["cnt"].sum()
         return s[s["cnt"] > 1].rename(columns={"cnt": "dup_count"})
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
-    key_counts = bucket_map_groups(
+    from katydid_haskell_ray.stages.exchange import (
+        bucket_map_groups, resolve_exchange)
+    _mat, _nb, _max = resolve_exchange(
         partials.filter(expr="kind != 'stat'")
         .select_columns(["kind", "key", "cnt"])
         .map_batches(lambda b: b.filter(
             pa.compute.is_valid(b.column("key"))),
             batch_format="pyarrow")
-        .map_batches(_bucket, batch_format="pyarrow"),
-        _per_bucket, n_buckets=64, bucket_col="bucket").to_pandas()
+        .map_batches(_bucket, batch_format="pyarrow"))
+    key_counts = bucket_map_groups(
+        _mat, _per_bucket, n_buckets=_nb, bucket_col="bucket",
+        modular=True, max_bucket_bytes=_max).to_pandas()
     dup_ids_df = key_counts[key_counts["kind"] == "image_id"]
     n_dup_ids = len(dup_ids_df)
     hot_df = (key_counts[key_counts["kind"] == "phash"]

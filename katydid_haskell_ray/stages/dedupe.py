@@ -249,7 +249,7 @@ def _smalltail_cluster(pair_refs, doc_refs, *, id_col, col, shingle,
 def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
                    k: int = 128, bands: int = 32, shingle: int = 3,
                    threshold: float = 0.8, concurrency: int | None = None,
-                   n_buckets: int = 64,
+                   n_buckets: int | None = None,
                    small_tail_max_bytes: int = 256 << 20,
                    small_tail_max_pairs: int = 2_000_000,
                    kept: bool = True):

@@ -146,33 +146,36 @@ def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
     return ray.data.from_arrow_refs(outs)
 
 
-def bucketed_group_sum(partials, keys: list[str], *, n_buckets: int = 64):
+def bucketed_group_sum(partials, keys: list[str], *,
+                       n_buckets: int | None = None):
     """Sum already-combined per-batch partials per key tuple — the shared
     tail of every combiner-before-shuffle aggregate.  Ray's sort-based
     ``groupby().aggregate(Sum...)`` costs ~10s of fixed overhead on a
     60k-row partial stream at 32 cpus; this is the same exchange as
-    bucket_map_groups (one task per bucket, C-speed pandas sum)."""
+    bucket_map_groups (one task per bucket, C-speed pandas sum).  The
+    partial stream is blocks x groups-per-block rows — it GROWS with key
+    cardinality, so the bucket count is data-derived unless pinned."""
 
     def add_bucket(t):
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)
         h = pd.util.hash_pandas_object(
             t.select(keys).to_pandas(), index=False).to_numpy()
-        return t.append_column("__bucket", pa.array(
-            (h % np.uint64(n_buckets)).astype(np.int32)))
+        return t.append_column("__bucket", pa.array(h.astype(np.uint64)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: SQL GROUP BY keeps the NULL group
         return (g.drop(columns="__bucket")
                 .groupby(keys, as_index=False, dropna=False).sum())
 
-    return bucket_map_groups(partials.map_batches(add_bucket,
-                                                  batch_format="pyarrow"),
-                             per_bucket, n_buckets=n_buckets)
+    mat, nb, max_b = resolve_exchange(
+        partials.map_batches(add_bucket, batch_format="pyarrow"), n_buckets)
+    return bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)
 
 
 def salted_group_sum(rows, keys: list[str], *, n_salt: int = 8,
-                     n_buckets: int = 64):
+                     n_buckets: int | None = None):
     """Salted repartitioning before groupby — the hot-key escape hatch.
 
     The per-batch combiner (queries.grouped_sum) already bounds skew for
@@ -201,7 +204,7 @@ def salted_group_sum(rows, keys: list[str], *, n_salt: int = 8,
 
     return bucketed_group_sum(
         level1.map_batches(drop_salt, batch_format="pyarrow"),
-        keys, n_buckets=min(n_buckets, 16))
+        keys, n_buckets=n_buckets and min(n_buckets, 16))
 
 
 def bucket_cogroup(left, right, fn, *, n_buckets: int | None = None,

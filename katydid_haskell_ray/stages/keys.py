@@ -187,7 +187,7 @@ class BloomProbe:
 
 
 def grouped_approx_distinct(ds, group: str, key: str, p: int = 12,
-                            n_buckets: int = 32,
+                            n_buckets: int | None = None,
                             out: str = "n_distinct_approx"):
     """Approximate COUNT(DISTINCT key) per group via per-group HLL
     sketches — the bounded-memory scale path for grouped distincts.
@@ -223,12 +223,12 @@ def grouped_approx_distinct(ds, group: str, key: str, p: int = 12,
             outrows.append({group: gval, out: int(round(acc.estimate()))})
         return pd.DataFrame(outrows, columns=[group, out])
 
-    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    # the sketch stream is blocks x groups x 2^p bytes — key-cardinality-
+    # independent but GROUP-cardinality-proportional: auto-size it too
     bucketed = (ds.select_columns([group, key])
                 .map_batches(partial, batch_format="pandas")
-                .map_batches(add_bucket_fn(group, n_buckets, "__bucket"),
-                             batch_format="pyarrow"))
-    return bucket_map_groups(bucketed, per_bucket, n_buckets=n_buckets)
+                .map_batches(add_hash_fn(group), batch_format="pyarrow"))
+    return _auto_keyed_exchange(bucketed, per_bucket, n_buckets)
 
 
 def grouped_distinct_count(ds, group: str, key: str,

@@ -573,8 +573,10 @@ def knn_join_ivf(ds, *, k: int = 3, n_centroids: int = 64, nprobe: int = 4,
         per_cell, n_buckets=max(n_buckets, n_centroids))
 
     def qbucket(t: pa.Table) -> pa.Table:
+        # full-range hash: the candidate stream is N x nprobe x k rows
+        # (grows with the corpus), so its merge exchange auto-sizes
         h = (t.column(id_col).to_numpy(zero_copy_only=False)
-             % n_buckets).astype(np.int32)
+             .astype(np.int64).view(np.uint64))
         return t.append_column("__bucket", pa.array(h))
 
     def merge_query(g: pd.DataFrame) -> pd.DataFrame:
@@ -587,6 +589,8 @@ def knn_join_ivf(ds, *, k: int = 3, n_centroids: int = 64, nprobe: int = 4,
                        ).astype(np.int64)
         return out[[id_col, "neighbor", "rank"]]
 
-    return bucket_map_groups(cand.map_batches(qbucket,
-                                              batch_format="pyarrow"),
-                             merge_query, n_buckets=n_buckets)
+    from katydid_haskell_ray.stages.exchange import resolve_exchange
+    qmat, qnb, qmax = resolve_exchange(
+        cand.map_batches(qbucket, batch_format="pyarrow"))
+    return bucket_map_groups(qmat, merge_query, n_buckets=qnb,
+                             modular=True, max_bucket_bytes=qmax)

@@ -28,7 +28,7 @@ def topk_rows(ds, *, k: int, by: list[str], ascending: list[bool],
 
 
 def grouped_topk(ds, *, group_cols: list[str], k: int, by: list[str],
-                 ascending: list[bool], n_buckets: int = 64,
+                 ascending: list[bool], n_buckets: int | None = None,
                  rank_col: str | None = None):
     """Per-group top-k (the ROW_NUMBER() <= k window pattern) without a
     total sort: a per-batch combiner keeps each group's local top-k, then
@@ -48,8 +48,7 @@ def grouped_topk(ds, *, group_cols: list[str], k: int, by: list[str],
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
             t.select(group_cols).to_pandas(), index=False).to_numpy()
-        return t.append_column("__bucket", pa.array(
-            (h % np.uint64(n_buckets)).astype(np.int32)))
+        return t.append_column("__bucket", pa.array(h.astype(np.uint64)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.drop(columns="__bucket")
@@ -63,6 +62,11 @@ def grouped_topk(ds, *, group_cols: list[str], k: int, by: list[str],
                              .cumcount().to_numpy() + 1)
         return out
 
+    from katydid_haskell_ray.stages.exchange import resolve_exchange
     partials = ds.map_batches(local, batch_format="pandas").map_batches(
         add_bucket, batch_format="pyarrow")
-    return bucket_map_groups(partials, per_bucket, n_buckets=n_buckets)
+    # the combined head-k stream is groups x k x blocks rows — grows with
+    # group cardinality, so the bucket count is data-derived
+    mat, nb, max_b = resolve_exchange(partials, n_buckets)
+    return bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)

@@ -53,7 +53,8 @@ def tumbling_aggregate(ds, *, width_s: int = 3600, keys=("event_type",),
                                ["window_start", *keys])
 
 
-def _bucketed_group_sum(partials, keys: list[str], n_buckets: int = 64):
+def _bucketed_group_sum(partials, keys: list[str],
+                        n_buckets: int | None = None):
     from katydid_haskell_ray.stages.exchange import bucketed_group_sum
     return bucketed_group_sum(partials, keys, n_buckets=n_buckets)
 

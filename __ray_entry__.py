@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_grammar": Q.images_caption_grammar,
         "images_bytes_grammar": Q.images_bytes_grammar,
         "images_check_failures": Q.images_check_failures,
+        "images_pass_rate_by_fmt": Q.images_pass_rate_by_fmt,
         "images_caption_ref": Q.images_caption_ref,
         "docs_user_ref_bloom": Q.docs_user_ref_bloom,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
@@ -750,6 +751,16 @@ def oracle_sql() -> dict[str, str]:
             FROM {_IMAGES}
         """,
         "images_check_failures": fail_counts,
+        "images_pass_rate_by_fmt": f"""
+            SELECT fmt,
+                   CAST(SUM(CASE WHEN ({pass_expr}) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pass,
+                   COUNT(*) AS n_rows,
+                   CAST(floor(1e6
+                        * SUM(CASE WHEN ({pass_expr}) THEN 1 ELSE 0 END)
+                        / COUNT(*)) AS BIGINT) AS pass_micro
+            FROM {_IMAGES} GROUP BY fmt
+        """,
         "images_caption_ref": _caption_ref_sql(),
         "docs_user_ref_bloom": """
             SELECT doc_id,

@@ -1083,6 +1083,34 @@ def images_check_failures(sf_dir: str):
             .astype({"n_fail": np.int64}))
 
 
+def images_pass_rate_by_fmt(sf_dir: str):
+    """Per-format verdict rollup: n_rows, n_pass and the micro-floored
+    pass rate of the metadata checks per fmt — the per-partition
+    pass/fail aggregation shape of the north rule, as a combiner-first
+    grouped sum over (fmt, pass) partials."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=METADATA_COLUMNS)
+    fc = FlatConstraints(METADATA_CHECKS)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        out = fc(b)
+        ok = out.column("pass").to_numpy(zero_copy_only=False).astype(np.int64)
+        return (pd.DataFrame({"fmt": out.column("fmt").to_pandas(),
+                              "n_pass": ok})
+                .groupby("fmt", as_index=False, dropna=False)
+                .agg(n_pass=("n_pass", "sum"), n_rows=("n_pass", "size")))
+
+    counts = grouped_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["fmt"], {"n_pass": "n_pass", "n_rows": "n_rows"},
+                         count_as=None).to_pandas()
+    # same left-associative order as the SQL ((1e6 * n) / c) so the floor
+    # can't straddle an ulp boundary differently across engines
+    counts["pass_micro"] = np.floor(
+        1e6 * counts["n_pass"].to_numpy()
+        / counts["n_rows"].to_numpy()).astype(np.int64)
+    return counts.astype({"n_pass": np.int64, "n_rows": np.int64})
+
+
 def images_decode_checks(sf_dir: str):
     """Per-row decode verdicts (codec checks — no SQL oracle).  Reads
     ``bytes`` by necessity but prunes ``caption`` (the validator never

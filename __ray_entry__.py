@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_1h": Q.events_trailing_1h,
         "events_latest_per_user": Q.events_latest_per_user,
         "docs_cube": Q.docs_cube,
+        "docs_grouping_sets": Q.docs_grouping_sets,
         "docs_checksum_per_lang": Q.docs_checksum_per_lang,
         "embedding_centroids": Q.embedding_centroids,
         "kmeans_embeddings": Q.kmeans_embeddings,  # rows-only (iterative)
@@ -967,6 +968,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "docs_grouping_sets": """
+            SELECT lang, source,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY GROUPING SETS ((lang), (source))
         """,
         "docs_checksum_per_lang": """
             SELECT lang,

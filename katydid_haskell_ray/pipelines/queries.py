@@ -2095,6 +2095,22 @@ def docs_cube(sf_dir: str):
     return out.astype({"sum_chars": np.int64, "n_docs": np.int64})
 
 
+def docs_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang), (source)) — the arbitrary-set
+    sibling of docs_rollup/docs_cube, derived from the same single-pass
+    finest-grain aggregate (only the requested sets are emitted)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = grouped_sum(ds, ["lang", "source"], {"sum_chars": "n_chars"},
+                       count_as="n_docs").to_pandas()
+    by_lang = (fine.groupby("lang", as_index=False, dropna=False)
+               [["sum_chars", "n_docs"]].sum().assign(source=None))
+    by_source = (fine.groupby("source", as_index=False, dropna=False)
+                 [["sum_chars", "n_docs"]].sum().assign(lang=None))
+    cols = ["lang", "source", "sum_chars", "n_docs"]
+    out = pd.concat([by_lang[cols], by_source[cols]], ignore_index=True)
+    return out.astype({"sum_chars": np.int64, "n_docs": np.int64})
+
+
 def docs_checksum_per_lang(sf_dir: str):
     """Cross-engine order-insensitive content checksum per language:
     XOR of the first 60 bits of md5(text) over each group — the

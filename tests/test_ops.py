@@ -702,3 +702,27 @@ def test_ivf_persisted_matches_inmemory(ray_session, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         mem[["query_id", "vec_id", "rank"]].reset_index(drop=True),
         per[["query_id", "vec_id", "rank"]].reset_index(drop=True))
+
+
+def test_exchange_and_dedupe_empty_inputs(ray_session):
+    """Empty/degenerate inputs flow through the auto-sized exchanges:
+    resolve_exchange sizes the floor bucket count and operators return
+    empty results instead of erroring."""
+    import ray.data
+    from katydid_haskell_ray.stages.exchange import resolve_exchange
+    from katydid_haskell_ray.stages.keys import add_hash_fn
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    mat, nb, max_b = resolve_exchange(
+        empty.map_batches(add_hash_fn("doc_id"), batch_format="pyarrow"))
+    assert nb == 8  # the floor
+
+    assert DD.exact_dedupe(empty).count() == 0
+    assert DD.jaccard_near_pairs(empty, threshold=0.5).count() == 0
+    assert DD.edit1_near_pairs(
+        empty.map_batches(lambda t: t.select(["text"])
+                          .rename_columns(["caption"]),
+                          batch_format="pyarrow"),
+        col="caption").count() == 0

@@ -74,6 +74,77 @@ class ImageOps:
                 .append_column("decode_ok", pa.array(oks)))
 
 
+class AudioOps:
+    """Actor stage over an (id, bytes) audio table: decode (codec-gated —
+    see :func:`decode_audio`) -> fixed-size waveform features.
+
+    The Ray-side plumbing is REAL and tested: opaque ``binary`` column in,
+    ``fixed_size_list<float32>`` feature column + ``decode_ok`` out,
+    byte-sized batches, one stage instance per actor.  Swapping the stub
+    for soundfile/ffmpeg in ``__init__`` touches nothing downstream."""
+
+    def __init__(self, id_col: str = "audio_id", col: str = "bytes",
+                 n_windows: int = 16, allow_stub: bool = False):
+        self.id_col, self.col = id_col, col
+        self.n_windows = n_windows
+        self.allow_stub = allow_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, oks = [], []
+        for d in batch.column(self.col).to_pylist():
+            try:
+                wave = decode_audio(d, allow_stub=self.allow_stub)
+                # windowed RMS energy: 1024 samples -> n_windows features
+                w = wave[: (len(wave) // self.n_windows) * self.n_windows]
+                rms = np.sqrt((w.reshape(self.n_windows, -1) ** 2).mean(axis=1))
+                feats.append(rms.astype(np.float32))
+                oks.append(True)
+            except (NotImplementedError, TypeError, ValueError):
+                feats.append(np.zeros(self.n_windows, dtype=np.float32))
+                oks.append(False)
+        feat_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats), type=pa.float32()),
+            self.n_windows)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "audio_feat": feat_arr,
+                         "decode_ok": pa.array(oks)})
+
+
+class VideoOps:
+    """Actor stage over an (id, bytes) video table: frame-sample
+    (codec-gated — see :func:`sample_video_frames`) -> per-frame image
+    features -> one flattened ``fixed_size_list<float32>`` per video.
+
+    Same plumbing contract as :class:`AudioOps`/:class:`ImageOps`."""
+
+    def __init__(self, id_col: str = "video_id", col: str = "bytes",
+                 n_frames: int = 4, bins: int = 4,
+                 allow_stub: bool = False):
+        self.id_col, self.col = id_col, col
+        self.n_frames, self.bins = n_frames, bins
+        self.frame_dim = 3 + 3 * bins
+        self.allow_stub = allow_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dim = self.n_frames * self.frame_dim
+        feats, oks = [], []
+        for d in batch.column(self.col).to_pylist():
+            try:
+                frames = sample_video_frames(d, self.n_frames,
+                                             allow_stub=self.allow_stub)
+                feats.append(np.concatenate(
+                    [image_features(f, self.bins) for f in frames]))
+                oks.append(True)
+            except (NotImplementedError, TypeError, ValueError):
+                feats.append(np.zeros(dim, dtype=np.float32))
+                oks.append(False)
+        feat_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats), type=pa.float32()), dim)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "video_feat": feat_arr,
+                         "decode_ok": pa.array(oks)})
+
+
 def decode_audio(data: bytes, *, allow_stub: bool = False) -> np.ndarray:
     """STUB — no audio codec library in this environment.
 

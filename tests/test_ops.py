@@ -726,3 +726,47 @@ def test_exchange_and_dedupe_empty_inputs(ray_session):
                           .rename_columns(["caption"]),
                           batch_format="pyarrow"),
         col="caption").count() == 0
+
+
+def test_audio_video_actor_stages(ray_session):
+    """The audio/video actor-pool plumbing runs end-to-end on Ray with the
+    deterministic stub codecs: binary column in, fixed-size-list feature
+    column + decode_ok out; stub-gated rows fail closed."""
+    import ray.data
+
+    n = 40
+    tab = pa.table({
+        "audio_id": pa.array(np.arange(n, dtype=np.int64)),
+        "bytes": pa.array([bytes([i % 251]) * 4096 for i in range(n)],
+                          type=pa.binary())})
+    ds = ray.data.from_arrow(tab)
+    out = ds.map_batches(MM.AudioOps, fn_constructor_kwargs={"allow_stub": True},
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=2).to_pandas()
+    assert len(out) == n and out["decode_ok"].all()
+    assert all(len(f) == 16 for f in out["audio_feat"])
+    # deterministic across runs
+    out2 = ds.map_batches(MM.AudioOps,
+                          fn_constructor_kwargs={"allow_stub": True},
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=2).to_pandas().sort_values("audio_id")
+    a = np.stack(out.sort_values("audio_id")["audio_feat"].to_numpy())
+    b = np.stack(out2["audio_feat"].to_numpy())
+    assert (a == b).all()
+
+    vtab = pa.table({
+        "video_id": pa.array(np.arange(n, dtype=np.int64)),
+        "bytes": pa.array([bytes([i % 13]) * 2048 for i in range(n)],
+                          type=pa.binary())})
+    vout = (ray.data.from_arrow(vtab)
+            .map_batches(MM.VideoOps,
+                         fn_constructor_kwargs={"allow_stub": True},
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=2).to_pandas())
+    assert len(vout) == n and vout["decode_ok"].all()
+    assert all(len(f) == 4 * (3 + 3 * 4) for f in vout["video_feat"])
+
+    # gated: without allow_stub every row fails closed, schema intact
+    gated = ds.map_batches(MM.AudioOps, batch_format="pyarrow",
+                           batch_size=16, concurrency=2).to_pandas()
+    assert not gated["decode_ok"].any()

@@ -1368,10 +1368,16 @@ def docs_user_ref_bloom(sf_dir: str):
     reach the output: the result equals the SQL semi-join bit exactly,
     which is what keeps this oracle-checkable.  The false-positive rate
     itself is asserted against the exact twin in tests/test_ops.py."""
+    from katydid_haskell_ray.state import sketches as SK
+
     users = _read(sf_dir, "events", ["user_id"])
-    bloom_ref = ray.put(K.build_bloom_from_dataset(users, "user_id"))
-    exact_ref = ray.put(frozenset(
-        K.distinct_values(users, "user_id").to_pandas()["user_id"]))
+    # ONE distinct-value exchange feeds both the Bloom and the exact set
+    # (build_bloom_from_dataset would re-scan: two extra Ray jobs)
+    distinct = K.distinct_values(users, "user_id").to_pandas()["user_id"]
+    bloom = SK.Bloom(max(1024, len(distinct)), 1e-3)
+    bloom.add_hashes(SK.hash64_array(distinct.to_numpy()))
+    bloom_ref = ray.put(bloom)
+    exact_ref = ray.put(frozenset(distinct))
 
     class BloomThenVerify:
         # ONE actor stage (probe composed with verify): two chained fixed

@@ -1762,8 +1762,13 @@ def png_and_jpeg_captions(sf_dir: str):
         return K.distinct_values(ds.map_batches(f, batch_format="pyarrow"),
                                  "caption")
 
-    return hash_join(only("png"), only("jpeg"), key="caption",
-                     left_cols=[], right_cols=[], how="left_semi")
+    out = hash_join(only("png"), only("jpeg"), key="caption",
+                    left_cols=[], right_cols=[], how="left_semi")
+    if out.count() == 0:
+        # the exchange's empty-bucket convention is 0-column blocks;
+        # rebuild the typed schema for a globally empty intersection
+        return pa.table({"caption": pa.array([], type=pa.string())})
+    return out
 
 
 def png_only_captions(sf_dir: str):

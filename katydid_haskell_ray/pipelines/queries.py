@@ -658,7 +658,10 @@ def revenue_by_region(sf_dir: str):
     (customer -> nation -> region chained on the driver into a single
     custkey -> region_name dict, ray.put once, read per actor) — the fact
     table streams through a single map_batches with zero shuffles; the
-    aggregate is the usual combiner + tiny exchange."""
+    aggregate is the usual combiner + tiny exchange.  Partitioning
+    assumption: the composed dict is dimension-sized.  If customer grows
+    fact-sized, swap the first hop for the partitioned hash_join
+    (order_priority_revenue shape) and keep nation/region broadcast."""
     cust = pd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_nationkey"])
     nat = pd.read_parquet(_t(sf_dir, "nation"),

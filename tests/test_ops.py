@@ -770,3 +770,18 @@ def test_audio_video_actor_stages(ray_session):
     gated = ds.map_batches(MM.AudioOps, batch_format="pyarrow",
                            batch_size=16, concurrency=2).to_pandas()
     assert not gated["decode_ok"].any()
+
+
+def test_cogroup_bucket_byte_bound_trips(ray_session):
+    """The auto-sized join exchange fails loudly past the skew allowance."""
+    import ray.data
+    from katydid_haskell_ray.stages.exchange import bucket_cogroup
+    from katydid_haskell_ray.stages.keys import add_hash_fn
+
+    df = pd.DataFrame({"k": np.zeros(20000, dtype=np.int64),
+                       "v": np.arange(20000, dtype=np.int64)})
+    side = (ray.data.from_pandas(df)
+            .map_batches(add_hash_fn("k"), batch_format="pyarrow"))
+    with pytest.raises(Exception, match="sizing bound"):
+        bucket_cogroup(side, side, lambda l, r: l, n_buckets=None,
+                       modular=True, target_bytes=1024).materialize()

@@ -87,22 +87,26 @@ def _split_block(tab: pa.Table, bucket_col: str, n_buckets: int,
     UDF — so a degenerate block can arrive here 0-column, and even as a
     raw pandas block that ``to_arrow_refs`` never converted; it
     contributes nothing to any bucket."""
+    def ret(parts):
+        # num_returns=1 means Ray expects ONE value, not a 1-tuple
+        return parts[0] if n_buckets == 1 else parts
+
     if isinstance(tab, pd.DataFrame):
         if len(tab) == 0:
-            return tuple(_EMPTY for _ in range(n_buckets))
+            return ret(tuple(_EMPTY for _ in range(n_buckets)))
         tab = pa.Table.from_pandas(tab, preserve_index=False)
     if tab.num_rows == 0:
-        return tuple(_EMPTY for _ in range(n_buckets))
+        return ret(tuple(_EMPTY for _ in range(n_buckets)))
     b = tab.column(bucket_col).to_numpy(zero_copy_only=False)
     if modular:
         b = b.astype(np.uint64) % np.uint64(n_buckets)
     order = np.argsort(b, kind="stable")
     st = tab.take(pa.array(order))
     bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
-    return tuple(
+    return ret(tuple(
         st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
         .combine_chunks()
-        for i in range(n_buckets))
+        for i in range(n_buckets)))
 
 
 def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
@@ -147,6 +151,8 @@ def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
 
     blocks = ds.materialize().to_arrow_refs()
     parts = [split.remote(r, bucket_col, n_buckets, modular) for r in blocks]
+    if n_buckets == 1:  # ray num_returns=1 yields a bare ref, not a list
+        parts = [[p] for p in parts]
     outs = [reduce_bucket.remote(*[p[k] for p in parts])
             for k in range(n_buckets)]
     return ray.data.from_arrow_refs(outs)
@@ -262,6 +268,9 @@ def bucket_cogroup(left, right, fn, *, n_buckets: int | None = None,
     rrefs = rmat.to_arrow_refs()
     lparts = [split.remote(r, bucket_col, n_buckets, modular) for r in lrefs]
     rparts = [split.remote(r, bucket_col, n_buckets, modular) for r in rrefs]
+    if n_buckets == 1:  # ray num_returns=1 yields a bare ref, not a list
+        lparts = [[p] for p in lparts]
+        rparts = [[p] for p in rparts]
     outs = [reduce_bucket.remote(len(lparts),
                                  *[p[k] for p in lparts + rparts])
             for k in range(n_buckets)]

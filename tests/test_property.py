@@ -162,3 +162,38 @@ def test_colplan_matches_tree_oracle(doc):
     exp = np.array([m.validate(T.row_to_forest(r, b.schema))
                     for r in b.to_pylist()])
     assert (got == exp).all(), f"{doc}: {got} != {exp}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    keys=st.lists(st.one_of(st.integers(-5, 5), st.none()),
+                  min_size=1, max_size=60),
+    nb=st.integers(1, 7),
+)
+def test_modular_exchange_equals_pandas_groupby(ray_session, keys, nb):
+    """Property: the modular bucketed exchange reproduces a plain pandas
+    groupby-sum for any key multiset (nulls included) at any bucket
+    count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from katydid_haskell_ray.stages.exchange import bucket_map_groups
+    from katydid_haskell_ray.stages.keys import add_hash_fn
+
+    df = pd.DataFrame({"k": pd.array(keys, dtype="Int64"),
+                       "v": np.arange(len(keys), dtype=np.int64)})
+    ds = (ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+          .map_batches(add_hash_fn("k"), batch_format="pyarrow"))
+    got = bucket_map_groups(
+        ds, lambda g: (g.drop(columns="__bucket")
+                       .groupby("k", as_index=False, dropna=False)["v"]
+                       .sum()),
+        n_buckets=nb, modular=True,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = (df.groupby("k", as_index=False, dropna=False)["v"].sum()
+            .sort_values("k").reset_index(drop=True))
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["k"].isna().sum() == want["k"].isna().sum()
+    assert (got["k"].dropna().tolist() == want["k"].dropna().tolist())

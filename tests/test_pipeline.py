@@ -239,3 +239,24 @@ def test_prune_removes_stale_shard_outputs(ray_session, tmp_path):
     assert rep["n_rows"] == 800
     assert len(glob.glob(str(out / "shard=*"))) == 1
     assert len(V.M.completed_shards(str(out))) == 1
+
+
+def test_relapse_cli_single_doc():
+    """The CLI mirrors the reference app (Main.hs): verdict strings and
+    the error:<err> shape, no Ray session for single docs."""
+    import subprocess
+    import sys
+
+    def run(*args):
+        return subprocess.run([sys.executable, "scripts/relapse_cli.py",
+                               *args], capture_output=True, text=True,
+                              cwd="/root/repo")
+
+    r = run("validate", "--grammar", ".DragonsExist == true",
+            "--json", '{"DragonsExist": false}')
+    assert r.stdout.strip() == "dragons are fictional"
+    r = run("validate", "--grammar", ".DragonsExist == true",
+            "--json", '{"DragonsExist": true}')
+    assert r.stdout.strip() == "dragons exist"
+    r = run("validate", "--grammar", "(", "--json", "{}")
+    assert r.stdout.startswith("error:") and r.returncode == 1

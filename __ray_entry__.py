@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": Q.events_latest_per_user,
         "docs_cube": Q.docs_cube,
         "docs_grouping_sets": Q.docs_grouping_sets,
+        "orders_monthly_revenue": Q.orders_monthly_revenue,
         "docs_checksum_per_lang": Q.docs_checksum_per_lang,
         "embedding_centroids": Q.embedding_centroids,
         "kmeans_embeddings": Q.kmeans_embeddings,  # rows-only (iterative)
@@ -968,6 +969,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "orders_monthly_revenue": """
+            SELECT strftime(date_trunc('month', o_orderdate),
+                            '%Y-%m-%d') AS month,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
         """,
         "docs_grouping_sets": """
             SELECT lang, source,

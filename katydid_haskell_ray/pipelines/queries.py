@@ -2109,6 +2109,25 @@ def docs_cube(sf_dir: str):
     return out.astype({"sum_chars": np.int64, "n_docs": np.int64})
 
 
+def orders_monthly_revenue(sf_dir: str):
+    """CALENDAR-window aggregate (epoch-floor tumbling windows can't
+    express months): revenue per calendar month via vectorized
+    datetime64[M] truncation in the combiner — the date_trunc('month')
+    shape.  Month is emitted as its first day ('YYYY-MM-01' string) for
+    cross-engine hash stability."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["o_orderdate"].to_numpy().astype("datetime64[M]")
+             .astype("datetime64[D]"))
+        return pd.DataFrame({"month": np.datetime_as_string(m, unit="D"),
+                             "cents": _cents(b["o_totalprice"].to_numpy())})
+
+    return grouped_sum(ds.map_batches(prep, batch_format="pandas"),
+                       ["month"], {"revenue_cents": "cents"},
+                       count_as="n_orders")
+
+
 def docs_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS ((lang), (source)) — the arbitrary-set
     sibling of docs_rollup/docs_cube, derived from the same single-pass

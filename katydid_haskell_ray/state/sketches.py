@@ -25,14 +25,30 @@ import pyarrow as pa
 _HASH_KEY = "0123456789123456"  # fixed 16-byte key: cross-process determinism
 
 
+_NULL_HASH = np.uint64(0xA0761D6478BD642F)  # fixed sentinel for Arrow nulls
+
+
 def hash64_array(col) -> np.ndarray:
     """Vectorized 64-bit hash of an Arrow array / numpy array / list.
 
-    Nulls hash to a fixed sentinel (callers typically filter them first).
+    Arrow nulls hash to a fixed sentinel, and non-null values hash
+    IDENTICALLY whether or not their array contains nulls.  A nullable
+    int64 column must not round-trip through pandas as float64 — that
+    would re-key every non-null value in null-containing batches, so a
+    bucketed exchange (or a Bloom probe) would silently disagree with
+    hash streams built from null-free batches of the same column.
+    Null-containing arrays therefore hash their ``drop_null()`` values
+    and scatter the results back under the validity mask.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, pa.Array):
+        if col.null_count:
+            import pyarrow.compute as pc
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            out = np.full(len(col), _NULL_HASH, dtype=np.uint64)
+            out[valid] = hash64_array(col.drop_null())
+            return out
         col = col.to_pandas()
     arr = np.asarray(col)
     if arr.dtype.kind in ("U", "S"):

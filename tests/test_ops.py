@@ -207,6 +207,27 @@ def test_bloom_probe_stage(ray_session):
     assert list(out["check_ref"]) == [True, True, False, False, True]
 
 
+def test_bloom_probe_nullable_int_batch(ray_session):
+    """ADVICE r3: an int64 key batch CONTAINING nulls must probe its
+    non-null values against a Bloom built from null-free int64 values —
+    the float64 to_pandas round-trip would re-key them all to False."""
+    import pyarrow as pa
+    import ray as _ray
+    import ray.data
+    from katydid_haskell_ray.stages import keys as K
+    from katydid_haskell_ray.state import sketches as SK
+
+    bloom = SK.Bloom(1000, 1e-4).add_hashes(
+        SK.hash64_array(pa.array(range(100), type=pa.int64())))
+    ref = _ray.put(bloom)
+    tab = pa.table({"k": pa.array([5, None, 42, 5000, None],
+                                  type=pa.int64())})
+    out = ray.data.from_arrow(tab).map_batches(
+        K.BloomProbe, fn_constructor_args=(ref, "k"),
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(out["check_ref"]) == [True, False, True, False, False]
+
+
 def test_build_bloom_from_dataset(ray_session):
     import pyarrow as pa
     import ray.data

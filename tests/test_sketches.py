@@ -14,6 +14,21 @@ def test_hash64_deterministic_across_types():
     assert len(c) == 3 and c.dtype == np.uint64
 
 
+def test_hash64_null_containing_batch_matches_null_free():
+    """A nullable int64 batch must hash its non-null values exactly like a
+    null-free batch of the same column (the to_pandas float64 round-trip
+    would re-key them), and nulls map to the fixed sentinel."""
+    clean = S.hash64_array(pa.array([5, 7, 9], type=pa.int64()))
+    mixed = S.hash64_array(pa.array([5, None, 7, 9, None], type=pa.int64()))
+    assert (mixed[[0, 2, 3]] == clean).all()
+    assert mixed[1] == mixed[4] == S._NULL_HASH
+    # same contract for strings and chunked arrays
+    sc = S.hash64_array(pa.array(["a", "b"]))
+    sm = S.hash64_array(pa.chunked_array(
+        [pa.array(["a", None]), pa.array(["b"])]))
+    assert sm[0] == sc[0] and sm[2] == sc[1] and sm[1] == S._NULL_HASH
+
+
 def test_hll_accuracy_and_merge():
     vals = S.hash64_array(np.arange(200_000))  # full-range 64-bit hashes
     true_card = len(np.unique(vals))

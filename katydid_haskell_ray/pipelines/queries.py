@@ -1363,46 +1363,70 @@ def docs_user_ref_bloom(sf_dir: str):
     an active events.user_id?  (350/500 fail at sf0.01 — both polarities
     exercised.)
 
-    Architecture = Bloom prefilter + exact verification of survivors:
-    the broadcast Bloom (keys.BloomProbe, fetched once per actor) rejects
-    'definitely absent' keys with zero further work — at scale that is
-    the bulk of a mostly-invalid stream — and only 'maybe' rows are
-    checked against the exact key set, so Bloom false positives NEVER
-    reach the output: the result equals the SQL semi-join bit exactly,
-    which is what keeps this oracle-checkable.  The false-positive rate
-    itself is asserted against the exact twin in tests/test_ops.py."""
+    Architecture = Bloom prefilter + exact verification of survivors,
+    with NOTHING key-set-sized on the driver (r3 verdict #2): ONE
+    distinct-value exchange feeds (a) per-block Bloom partials merged
+    tree-wise (fixed-size state — the dedupe.py pattern) into the
+    broadcast prefilter, and (b) the exact side of a distributed MARK
+    join.  The Bloom (fetched once per actor) rejects 'definitely
+    absent' keys with zero further work — at scale that is the bulk of a
+    mostly-invalid stream — and only 'maybe' rows enter the join
+    exchange, so Bloom false positives NEVER reach the output: the
+    result equals the SQL semi-join bit exactly, which is what keeps
+    this oracle-checkable.  The false-positive rate itself is asserted
+    against the exact twin in tests/test_ops.py.  Bloom sizing is capped
+    (~0.5e9 items ≈ 1 GiB of bits): past the cap the FP rate degrades
+    gracefully and only prefilter selectivity suffers, never
+    correctness."""
+    import pickle
+
     from katydid_haskell_ray.state import sketches as SK
+    from katydid_haskell_ray.state.reduce import tree_reduce
+    from katydid_haskell_ray.stages.join import hash_join
 
     users = _read(sf_dir, "events", ["user_id"])
-    # ONE distinct-value exchange feeds both the Bloom and the exact set
-    # (build_bloom_from_dataset would re-scan: two extra Ray jobs)
-    distinct = K.distinct_values(users, "user_id").to_pandas()["user_id"]
-    bloom = SK.Bloom(max(1024, len(distinct)), 1e-3)
-    bloom.add_hashes(SK.hash64_array(distinct.to_numpy()))
-    bloom_ref = ray.put(bloom)
-    exact_ref = ray.put(frozenset(distinct))
+    distinct = K.distinct_values(users, "user_id").materialize()
+    n_bloom = max(1024, min(distinct.count(), 512_000_000))
 
-    class BloomThenVerify:
-        # ONE actor stage (probe composed with verify): two chained fixed
-        # actor pools can reserve every CPU of a small node and starve the
-        # read tasks — and the probe->verify handoff has no reason to
-        # cross the object store anyway
-        def __init__(self):
-            self.probe = K.BloomProbe(bloom_ref, "doc_id", "bloom_maybe")
-            self.exact = ray.get(exact_ref)
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bl = SK.Bloom(n_bloom, 1e-3)
+        bl.add_hashes(SK.hash64_array(t.column("user_id")))
+        return pa.table({"blob": pa.array([pickle.dumps(bl, protocol=5)],
+                                          type=pa.binary())})
 
-        def __call__(self, t: pa.Table) -> pd.DataFrame:
-            b = self.probe(t).to_pandas()
-            maybe = b["bloom_maybe"].to_numpy(dtype=bool)
-            ok = maybe.copy()
-            if maybe.any():  # exact check ONLY for Bloom survivors
-                ok[maybe] = b.loc[maybe, "doc_id"].isin(self.exact).to_numpy()
-            return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
-                                 "ref_ok": ok})
+    blooms = [pickle.loads(r["blob"]) for r in
+              distinct.map_batches(bloom_partial,
+                                   batch_format="pyarrow").take_all()]
+    bloom_ref = ray.put(tree_reduce(blooms, lambda a, b: a.merge(b)))
 
     docs = _read(sf_dir, "documents", ["doc_id"])
-    return docs.map_batches(BloomThenVerify, batch_format="pyarrow",
-                            concurrency=_AC())
+    probed = docs.map_batches(
+        K.BloomProbe, fn_constructor_args=(bloom_ref, "doc_id", "bloom_maybe"),
+        batch_format="pyarrow", concurrency=_AC()).materialize()
+
+    def split(keep_maybe: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t.column("bloom_maybe")
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            mask = m if keep_maybe else pc.invert(m)
+            return pa.table({"doc_id": t.column("doc_id").filter(mask)})
+        return f
+
+    # Bloom rejects are definitively absent: ref_ok=False with no shuffle
+    rejected = probed.map_batches(split(False), batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "ref_ok", pa.array(np.zeros(t.num_rows, dtype=bool))),
+            batch_format="pyarrow")
+    # survivors (true members + Bloom FPs) verify through the exact
+    # distributed mark join against the distinct-user Dataset
+    survivors = probed.map_batches(split(True), batch_format="pyarrow")
+    users_keyed = distinct.map_batches(
+        lambda t: pa.table({"doc_id": t.column("user_id")}),
+        batch_format="pyarrow")
+    marked = hash_join(survivors, users_keyed, key="doc_id", left_cols=[],
+                       right_cols=[], how="left_mark", mark_col="ref_ok")
+    return marked.union(rejected)
 
 
 # the grammars live in pipelines.validate (single source of truth)

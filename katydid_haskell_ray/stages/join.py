@@ -28,7 +28,7 @@ from katydid_haskell_ray.state import sketches as SK
 
 def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
               right_cols: list[str], n_buckets: int | None = None,
-              how: str = "inner"):
+              how: str = "inner", mark_col: str = "__exists"):
     """Partitioned hash join of two Datasets on ``key`` (a column name or
     a list of columns — composite keys hash as a tuple).
 
@@ -36,7 +36,10 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
     included once).  Rows are matched exactly (pandas merge semantics per
     bucket).  ``how="left_anti"`` keeps left rows with NO match on the
     right and returns only the left columns — the distributed anti-join
-    used by the dedup kept-set computation.
+    used by the dedup kept-set computation.  ``how="left_mark"`` keeps ALL
+    left rows and appends a bool ``mark_col`` = EXISTS(match on the right)
+    — the one-pass projection of a semi+anti pair (SQL's MARK join), used
+    where both polarities are needed (referential checks).
 
     Shuffle shape: each side is projected to its join columns, tagged with
     a coarse key-hash bucket, and cogrouped through the raw-task exchange
@@ -90,6 +93,10 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
         if rdf.shape[1] == 0:
             if how == "left_anti":
                 return ldf  # nothing to subtract
+            if how == "left_mark":
+                out = ldf.copy()
+                out[mark_col] = False
+                return out
             if how in ("inner", "left_semi"):
                 return ldf.iloc[0:0]
             out = ldf.copy()  # left join: all unmatched
@@ -98,6 +105,17 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
                     out[c] = np.nan
             return out
         rdf = rdf[rcols]
+        if how == "left_mark":
+            # EXISTS semantics: NULL keys never match (cf. semi/anti below)
+            out = ldf.copy()
+            if len(keys) == 1:
+                out[mark_col] = (ldf[keys[0]]
+                                 .isin(rdf[keys[0]].dropna()).to_numpy())
+            else:
+                rk = rdf[keys].dropna().drop_duplicates()
+                m = ldf.merge(rk, on=keys, how="left", indicator=True)
+                out[mark_col] = (m["_merge"] == "both").to_numpy()
+            return out
         if how in ("left_anti", "left_semi"):
             # SQL EXISTS/NOT EXISTS semantics: a NULL key never matches
             # (pandas isin/merge would treat NaN == NaN as a match), so

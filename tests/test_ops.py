@@ -261,6 +261,30 @@ def test_hash_join_matches_pandas(ray_session):
                                   exp_s[["k", "lv", "rv"]])
 
 
+def test_hash_join_left_mark(ray_session):
+    """left_mark = all left rows + an EXISTS bool; null keys never match
+    on either side (SQL EXISTS semantics)."""
+    import pyarrow as pa
+    import ray.data
+    from katydid_haskell_ray.stages.join import hash_join
+
+    left = pa.table({"k": pa.array([1, 2, None, 3, 5], type=pa.int64())})
+    right = pa.table({"k": pa.array([2, 2, None, 4], type=pa.int64())})
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key="k", left_cols=[], right_cols=[], how="left_mark",
+                    mark_col="hit", n_buckets=4).to_pandas()
+    got = dict(zip(out["k"].fillna(-1).astype(int), out["hit"]))
+    assert len(out) == 5
+    assert got == {1: False, 2: True, -1: False, 3: False, 5: False}
+    # empty right side: all False, all left rows kept
+    empty = ray.data.from_arrow(pa.table(
+        {"k": pa.array([], type=pa.int64())}))
+    out2 = hash_join(ray.data.from_arrow(left), empty, key="k",
+                     left_cols=[], right_cols=[], how="left_mark",
+                     mark_col="hit", n_buckets=2).to_pandas()
+    assert len(out2) == 5 and not out2["hit"].any()
+
+
 def test_asof_lookup(ray_session):
     import pyarrow as pa
     import ray.data

@@ -461,30 +461,97 @@ def minhash_dedupe(ds, *, col: str = "text", id_col: str = "doc_id",
     return clusters, kept_ds
 
 
+# Peak pair-rows a posting self-merge may materialize at once (the
+# hot-shingle memory bound; ~40 B/row -> ~160 MB per slab).  Tests shrink
+# it to force the chunked path.
+MERGE_CHUNK_PAIRS = 4_000_000
+
+
+def _self_merge_chunked(g: pd.DataFrame, consume, *,
+                        max_pairs: int | None = None) -> pd.DataFrame:
+    """Self-merge ``g`` on its ``sh`` column in slabs whose merged output
+    is bounded by ~``max_pairs`` rows, feeding each slab through
+    ``consume`` (filter / partial-reduce) immediately.
+
+    Equivalent to ``consume(g.merge(g, on="sh"))`` for slab-insensitive
+    consumers (filters and per-pair partial counts are: a pair meets a
+    given shingle in exactly one slab), but a globally frequent shingle —
+    posting length p -> p² merge rows — can no longer materialize an
+    unbounded frame inside one reduce task: small shingle groups pack
+    into slabs of Σp² <= max_pairs, and an oversized group left-chunks
+    against itself (c·p <= max_pairs per step).  Peak memory is the slab,
+    not the full quadratic output."""
+    if max_pairs is None:
+        max_pairs = MERGE_CHUNK_PAIRS
+    g = g.sort_values("sh", kind="mergesort", ignore_index=True)
+    sh = g["sh"].to_numpy()
+    n = len(sh)
+    if n == 0:
+        return consume(g.merge(g, on="sh"))
+    bounds = np.r_[np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]]), n]
+    outs = []
+    i, ngroups = 0, len(bounds) - 1
+    while i < ngroups:
+        p = int(bounds[i + 1] - bounds[i])
+        if p * p > max_pairs:
+            grp = g.iloc[bounds[i]:bounds[i + 1]]
+            c = max(1, max_pairs // p)
+            for s in range(0, p, c):
+                outs.append(consume(grp.iloc[s:s + c].merge(grp, on="sh")))
+            i += 1
+            continue
+        j, tot = i, 0
+        while j < ngroups:
+            pj = int(bounds[j + 1] - bounds[j])
+            if tot + pj * pj > max_pairs and j > i:
+                break
+            tot += pj * pj
+            j += 1
+        slab = g.iloc[bounds[i]:bounds[j]]
+        outs.append(consume(slab.merge(slab, on="sh")))
+        i = j
+    return (pd.concat(outs, ignore_index=True) if len(outs) > 1
+            else outs[0])
+
+
 def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
-                       id_col: str = "doc_id", shingle: int = 3):
+                       id_col: str = "doc_id", shingle: int = 3,
+                       hot_df: int | None = None):
     """EXACT n-gram-Jaccard near-dup pairs (a < b, J >= threshold) with
     the score as ``j_micro = floor(1e6 * |A∩B| / |A∪B|)``.
 
     MinHash-LSH (minhash_dedupe) is the probabilistic path; this is the
     exact one, made sub-quadratic by PPJoin-style PREFIX FILTERING: under
-    any global total order on shingles (here: the 64-bit shingle hash
-    ascending), two sets with J >= t must share at least one shingle
-    among each set's first ``|X| - ceil(t*|X|) + 1`` shingles.  Only
-    those prefix shingles enter the inverted-index exchange, so candidate
-    generation touches a ~(1-t) fraction of the postings; candidates are
-    Bloom-restricted to candidates, and exact-verified by COUNTING: a
-    second posting exchange over the FULL shingle sets sums per-pair
-    co-occurrences (each common shingle lives in exactly one bucket, so
-    the counts sum exactly), and since posting rows carry each doc's set
-    size, J = inter / (|A| + |B| - inter) falls out of a C-speed
-    merge+groupby — no text joins, no per-pair Python.  Bloom false
-    positives only admit extra pairs into the exact computation; any pair
-    passing the threshold is a true prefix candidate anyway (the filter
-    theorem), so the output is exact regardless.  A size filter
-    (t·|A| <= |B| <= |A|/t) prunes candidates before the Bloom.
+    ANY global total order on shingles, two sets with J >= t must share
+    at least one shingle among each set's first
+    ``|X| - ceil(t*|X|) + 1`` shingles (J >= t ⟹ |A∩B| >= ceil(t·|X|)
+    for both X; two sets with overlap >= α always collide within their
+    (|X|-α+1)-prefixes).  The order used here is **(document frequency
+    class, hash)**: a cheap per-shingle DF pass over the already-
+    materialized full postings finds globally frequent shingles, which
+    then sort LAST — so a stop-word shingle sits in a prefix only for
+    docs consisting almost entirely of hot shingles, and its stage-1
+    posting list stays short.  Exactness is order-independent, so the
+    hot set is a pure performance knob (``hot_df`` defaults to
+    max(64, n_docs/200), hot set capped at 65536 driver-side rows).
 
-    All exchanges derive their bucket counts from data size."""
+    Candidates are exact-verified by COUNTING: a second posting exchange
+    over the FULL shingle sets — restricted to candidate DOCS by a Bloom
+    built from per-block partials (false positives only add rows that
+    count to nothing) — sums per-pair co-occurrences (each common
+    shingle lives in exactly one bucket, so the counts sum exactly), and
+    since posting rows carry each doc's set size,
+    J = inter / (|A| + |B| - inter) falls out of a C-speed merge+groupby
+    — no text joins, no per-pair Python.  Pair-Bloom false positives
+    only admit extra pairs into the exact computation; any pair passing
+    the threshold is a true prefix candidate anyway, so the output is
+    exact regardless.  A size filter (t·|A| <= |B| <= |A|/t) prunes
+    candidates before the Bloom.
+
+    Memory discipline: all exchanges derive their bucket counts from
+    data size, and BOTH posting self-merges run through
+    :func:`_self_merge_chunked`, so one hot shingle can never
+    materialize its quadratic pair frame inside a reduce task."""
     import pickle
 
     import ray
@@ -493,17 +560,31 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
     from katydid_haskell_ray.stages.exchange import (
         bucket_map_groups, resolve_exchange)
 
-    def _postings(batch: pa.Table, prefix_only: bool) -> pa.Table:
+    def _postings(batch: pa.Table, hot: np.ndarray | None) -> pa.Table:
+        """Distinct (shingle, doc, set-size) rows; ``hot`` not None =>
+        prefix rows only, under the (is_hot, hash) total order."""
         texts = batch.column(col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         flat, offsets = flat_shingle_hashes(texts, shingle)
         # vectorized per-doc distinct + rank: (row, hash) dedup, sort,
         # cumcount < prefix_len(row)
         row = np.repeat(np.arange(len(texts)), np.diff(offsets))
-        df = (pd.DataFrame({"r": row, "h": flat.view(np.int64)})
-              .drop_duplicates().sort_values(["r", "h"], kind="mergesort"))
-        sizes = df.groupby("r")["h"].transform("size").to_numpy()
-        if prefix_only:
+        df = pd.DataFrame({"r": row, "h": flat.view(np.int64)}) \
+            .drop_duplicates()
+        if hot is None:
+            df = df.sort_values(["r", "h"], kind="mergesort")
+            sizes = df.groupby("r")["h"].transform("size").to_numpy()
+        else:
+            hv = df["h"].to_numpy()
+            if len(hot):
+                idx = np.searchsorted(hot, hv)
+                ishot = (idx < len(hot)) & \
+                    (hot[np.minimum(idx, len(hot) - 1)] == hv)
+            else:
+                ishot = np.zeros(len(hv), dtype=bool)
+            df["hot"] = ishot
+            df = df.sort_values(["r", "hot", "h"], kind="mergesort")
+            sizes = df.groupby("r")["h"].transform("size").to_numpy()
             rank = df.groupby("r").cumcount().to_numpy()
             plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
             keep = rank < plen
@@ -521,21 +602,50 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
         return (SK.hash64_array(a) * np.uint64(0x9E3779B97F4A7C15)
                 ^ SK.hash64_array(b))
 
+    # ---- stage 0: full postings (stage-2 input + DF source) + hot set ----
+    full = ds.select_columns([id_col, col]).map_batches(
+        lambda t: _postings(t, None), batch_format="pyarrow")
+    fmat = full.materialize()
+    if hot_df is None:
+        # pure perf knob (ordering only): any shingle in >= hot_df docs
+        # sorts last; the hottest 65536 suffice, so no corpus count needed
+        hot_df = 64
+
+    from katydid_haskell_ray.stages.keys import add_hash_fn, partial_key_counts
+    df_partials = fmat.map_batches(partial_key_counts("sh"),
+                                   batch_format="pyarrow") \
+        .map_batches(add_hash_fn("sh"), batch_format="pyarrow")
+
+    def hot_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("sh", as_index=False)["cnt"].sum()
+        return s[s["cnt"] >= hot_df].nlargest(65536, "cnt")
+
+    dmat, dnb, dmax = resolve_exchange(df_partials)
+    hot_parts = bucket_map_groups(dmat, hot_bucket, n_buckets=dnb,
+                                  modular=True,
+                                  max_bucket_bytes=dmax).to_pandas()
+    hot_sh = (hot_parts.nlargest(65536, "cnt")["sh"].to_numpy()
+              if len(hot_parts) else np.empty(0, np.int64))
+    hot_ref = ray.put(np.sort(hot_sh.astype(np.int64)))
+
     # ---- stage 1: prefix postings -> size-filtered candidate pairs ----
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[["sh", id_col, "sz"]]
-        m = g.merge(g, on="sh")
-        a = m[f"{id_col}_x"].to_numpy()
-        b = m[f"{id_col}_y"].to_numpy()
-        sa = m["sz_x"].to_numpy()
-        sb = m["sz_y"].to_numpy()
-        # size filter: J >= t forces t*|A| <= |B| <= |A|/t
-        keep = (a < b) & (sb >= threshold * sa) & (sa >= threshold * sb)
-        return (pd.DataFrame({"a": a[keep], "b": b[keep]})
-                .drop_duplicates())
+        def consume(m: pd.DataFrame) -> pd.DataFrame:
+            a = m[f"{id_col}_x"].to_numpy()
+            b = m[f"{id_col}_y"].to_numpy()
+            sa = m["sz_x"].to_numpy()
+            sb = m["sz_y"].to_numpy()
+            # size filter: J >= t forces t*|A| <= |B| <= |A|/t
+            keep = (a < b) & (sb >= threshold * sa) & (sa >= threshold * sb)
+            return pd.DataFrame({"a": a[keep], "b": b[keep]})
+        return _self_merge_chunked(g[["sh", id_col, "sz"]], consume) \
+            .drop_duplicates()
+
+    def pref(t: pa.Table) -> pa.Table:
+        return _postings(t, ray.get(hot_ref))
 
     prefixed = ds.select_columns([id_col, col]).map_batches(
-        lambda t: _postings(t, True), batch_format="pyarrow")
+        pref, batch_format="pyarrow")
     mat, nb, max_b = resolve_exchange(prefixed)
     cand = bucket_map_groups(mat, bucket_pairs, n_buckets=nb, modular=True,
                              max_bucket_bytes=max_b).materialize()
@@ -546,38 +656,56 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
             "b": pa.array([], type=pa.int64()),
             "j_micro": pa.array([], type=pa.int64())}))
 
-    # Bloom of candidate pair keys, per-block partials merged tree-wise
+    # Blooms of candidate pair keys AND candidate doc ids, per-block
+    # partials merged tree-wise (fixed-size state)
     def bloom_partial(t: pa.Table) -> pa.Table:
         bl = SK.Bloom(max(1024, 2 * n_pairs), 1e-3)
         bl.add_hashes(_pair_key(t.column("a"), t.column("b")))
-        return pa.table({"blob": pa.array([pickle.dumps(bl, protocol=5)],
-                                          type=pa.binary())})
+        dbl = SK.Bloom(max(1024, 2 * n_pairs), 1e-3)
+        dbl.add_hashes(SK.hash64_array(t.column("a")))
+        dbl.add_hashes(SK.hash64_array(t.column("b")))
+        return pa.table({"blob": pa.array(
+            [pickle.dumps((bl, dbl), protocol=5)], type=pa.binary())})
 
-    blooms = [pickle.loads(r["blob"]) for r in
-              cand.map_batches(bloom_partial,
-                               batch_format="pyarrow").take_all()]
-    bloom_ref = ray.put(tree_reduce(blooms, lambda x, y: x.merge(y)))
+    parts = [pickle.loads(r["blob"]) for r in
+             cand.map_batches(bloom_partial,
+                              batch_format="pyarrow").take_all()]
+    pair_bloom, doc_bloom = tree_reduce(
+        parts, lambda x, y: (x[0].merge(y[0]), x[1].merge(y[1])))
+    bloom_ref = ray.put(pair_bloom)
+    doc_bloom_ref = ray.put(doc_bloom)
 
-    # ---- stage 2: FULL postings -> per-pair common-shingle counts ----
+    # ---- stage 2: candidate-doc FULL postings -> per-pair counts ----
+    def cand_postings(t: pa.Table) -> pa.Table:
+        # Bloom-restricted projection: only candidate docs' postings enter
+        # the counting exchange (false positives just count to nothing) —
+        # a hot shingle's stage-2 posting list is bounded by the number of
+        # CANDIDATE docs containing it, not the corpus
+        dbl = ray.get(doc_bloom_ref)
+        m = dbl.contains_hashes(SK.hash64_array(t.column(id_col)))
+        return t.filter(pa.array(m))
+
     def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
         bloom = ray.get(bloom_ref)
-        g = g[["sh", id_col, "sz"]]
-        m = g.merge(g, on="sh")
-        a = m[f"{id_col}_x"].to_numpy()
-        b = m[f"{id_col}_y"].to_numpy()
-        keep = a < b
-        a, b = a[keep], b[keep]
-        sa = m["sz_x"].to_numpy()[keep]
-        sb = m["sz_y"].to_numpy()[keep]
-        hit = bloom.contains_hashes(_pair_key(a, b))
-        d = pd.DataFrame({"a": a[hit], "b": b[hit],
-                          "sa": sa[hit], "sb": sb[hit]})
-        return (d.groupby(["a", "b", "sa", "sb"], as_index=False)
-                .size().rename(columns={"size": "inter"}))
 
-    full = ds.select_columns([id_col, col]).map_batches(
-        lambda t: _postings(t, False), batch_format="pyarrow")
-    mat2, nb2, max_b2 = resolve_exchange(full)
+        def consume(m: pd.DataFrame) -> pd.DataFrame:
+            a = m[f"{id_col}_x"].to_numpy()
+            b = m[f"{id_col}_y"].to_numpy()
+            keep = a < b
+            a, b = a[keep], b[keep]
+            sa = m["sz_x"].to_numpy()[keep]
+            sb = m["sz_y"].to_numpy()[keep]
+            hit = bloom.contains_hashes(_pair_key(a, b))
+            d = pd.DataFrame({"a": a[hit], "b": b[hit],
+                              "sa": sa[hit], "sb": sb[hit]})
+            # partial counts: stage 3 sums per pair, so slab partials
+            # need no intra-task re-aggregation
+            return (d.groupby(["a", "b", "sa", "sb"], as_index=False)
+                    .size().rename(columns={"size": "inter"}))
+        return _self_merge_chunked(g[["sh", id_col, "sz"]], consume)
+
+    filt = fmat.map_batches(cand_postings, batch_format="pyarrow")
+    mat2, nb2, max_b2 = resolve_exchange(filt)
     counted = bucket_map_groups(mat2, count_pairs, n_buckets=nb2,
                                 modular=True, max_bucket_bytes=max_b2)
 

@@ -652,40 +652,70 @@ def minhash_dedupe_docs(sf_dir: str):
                      "cluster": pa.array(clusters["cluster"], type=pa.int64())})
 
 
-def revenue_by_region(sf_dir: str):
+def revenue_by_region(sf_dir: str, broadcast_max_bytes: int = 64 << 20):
     """Star join orders ⋈ customer ⋈ nation ⋈ region → revenue per region
-    name.  ALL three dimension lookups are composed into ONE broadcast map
-    (customer -> nation -> region chained on the driver into a single
-    custkey -> region_name dict, ray.put once, read per actor) — the fact
-    table streams through a single map_batches with zero shuffles; the
-    aggregate is the usual combiner + tiny exchange.  Partitioning
-    assumption: the composed dict is dimension-sized.  If customer grows
-    fact-sized, swap the first hop for the partitioned hash_join
-    (order_priority_revenue shape) and keep nation/region broadcast."""
-    cust = pd.read_parquet(_t(sf_dir, "customer"),
-                           columns=["c_custkey", "c_nationkey"])
+    name.  The customer hop is chosen AUTOMATICALLY by the dimension's
+    on-disk byte size (r3 verdict #4 — the choice used to be a docstring):
+
+    - customer parquet <= ``broadcast_max_bytes`` (64 MB): ALL three
+      dimension lookups compose into ONE broadcast map (customer ->
+      nation -> region chained on the driver into a single custkey ->
+      region_name dict, ray.put once, read per actor) — the fact table
+      streams through a single map_batches with zero shuffles.
+    - larger: the customer hop becomes the partitioned hash_join
+      (order_priority_revenue shape) while nation/region — dimension-
+      sized by schema (25/5 rows at any TPC-H scale) — stay a broadcast
+      dict applied inside the join output's map stage.
+
+    Either way the aggregate is the usual combiner + tiny exchange."""
     nat = pd.read_parquet(_t(sf_dir, "nation"),
                           columns=["n_nationkey", "n_regionkey"])
     reg = pd.read_parquet(_t(sf_dir, "region"),
                           columns=["r_regionkey", "r_name"])
     nat2reg = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
     reg2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
-    cust2region = {c: reg2name[nat2reg[n]]
-                   for c, n in zip(cust["c_custkey"], cust["c_nationkey"])}
-    ref = ray.put(cust2region)
-
-    class Lookup:
-        def __init__(self):
-            self.m = ray.get(ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "r_name": b["o_custkey"].map(self.m).to_numpy(),
-                "cents": _cents(b["o_totalprice"].to_numpy())})
-
+    nat2name = {n: reg2name[r] for n, r in nat2reg.items()}
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    mapped = orders.map_batches(Lookup, batch_format="pandas",
-                                concurrency=_AC())
+
+    if os.path.getsize(_t(sf_dir, "customer")) <= broadcast_max_bytes:
+        cust = pd.read_parquet(_t(sf_dir, "customer"),
+                               columns=["c_custkey", "c_nationkey"])
+        cust2region = {c: nat2name[n]
+                       for c, n in zip(cust["c_custkey"],
+                                       cust["c_nationkey"])}
+        ref = ray.put(cust2region)
+
+        class Lookup:
+            def __init__(self):
+                self.m = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "r_name": b["o_custkey"].map(self.m).to_numpy(),
+                    "cents": _cents(b["o_totalprice"].to_numpy())})
+
+        mapped = orders.map_batches(Lookup, batch_format="pandas",
+                                    concurrency=_AC())
+    else:
+        from katydid_haskell_ray.stages.join import hash_join
+
+        facts = orders.map_batches(
+            lambda t: pa.table({
+                "c_custkey": t.column("o_custkey"),
+                "cents": pa.array(_cents(t.column("o_totalprice")
+                                         .to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow")
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = hash_join(facts, cust_ds, key="c_custkey",
+                           left_cols=["cents"], right_cols=["c_nationkey"])
+        ref = ray.put(nat2name)
+
+        def to_region(b: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            return pd.DataFrame({"r_name": b["c_nationkey"].map(m).to_numpy(),
+                                 "cents": b["cents"].to_numpy()})
+
+        mapped = joined.map_batches(to_region, batch_format="pandas")
     return grouped_sum(mapped, ["r_name"], {"revenue_cents": "cents"},
                        count_as="n_orders")
 

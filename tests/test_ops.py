@@ -690,6 +690,20 @@ def test_jaccard_near_pairs_exact_vs_bruteforce(docs_ds):
             assert jm == int(np.floor(1e6 * bj[(a, b)]))
 
 
+def test_revenue_by_region_broadcast_and_join_paths_agree(ray_session,
+                                                          sf_dir):
+    """The star join's customer hop auto-selects broadcast vs partitioned
+    by dimension byte size; both paths must produce identical results."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    bc = Q.revenue_by_region(sf_dir).to_pandas() \
+        .sort_values("r_name").reset_index(drop=True)
+    pj = Q.revenue_by_region(sf_dir, broadcast_max_bytes=0).to_pandas() \
+        .sort_values("r_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, pj[bc.columns], check_dtype=False)
+    assert len(bc) == 5 and (bc["n_orders"] > 0).all()
+
+
 def test_jaccard_hot_shingle_bounded_and_exact(ray_session, monkeypatch):
     """r3 verdict #3: one shingle in >=50% of docs must neither blow up a
     reduce task (posting self-merges run chunked) nor change the exact

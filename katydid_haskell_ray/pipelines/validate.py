@@ -502,6 +502,7 @@ def run_validation(images_path: str, out_dir: str, *,
 
     from katydid_haskell_ray.stages.exchange import (
         bucket_map_groups, resolve_exchange)
+    from katydid_haskell_ray.stages.topk import topk_rows
     _mat, _nb, _max = resolve_exchange(
         partials.filter(expr="kind != 'stat'")
         .select_columns(["kind", "key", "cnt"])
@@ -509,13 +510,20 @@ def run_validation(images_path: str, out_dir: str, *,
             pa.compute.is_valid(b.column("key"))),
             batch_format="pyarrow")
         .map_batches(_bucket, batch_format="pyarrow"))
+    # the dup-key stream stays a Dataset: dups are anomalies on healthy
+    # data but UNBOUNDED on an adversarial all-duplicate input, so the
+    # full list goes to a parquet sink and the driver pulls only a count
+    # plus the top-5 hot keys (r3 verdict #6 — no unbounded to_pandas)
     key_counts = bucket_map_groups(
         _mat, _per_bucket, n_buckets=_nb, bucket_col="bucket",
-        modular=True, max_bucket_bytes=_max).to_pandas()
-    dup_ids_df = key_counts[key_counts["kind"] == "image_id"]
-    n_dup_ids = len(dup_ids_df)
-    hot_df = (key_counts[key_counts["kind"] == "phash"]
-              .sort_values("dup_count", ascending=False).head(5))
+        modular=True, max_bucket_bytes=_max).materialize()
+    _shutil.rmtree(os.path.join(out_dir, "dup_keys"), ignore_errors=True)
+    key_counts.write_parquet(os.path.join(out_dir, "dup_keys"))
+    n_dup_ids = key_counts.filter(expr="kind == 'image_id'").count()
+    hot_ds = key_counts.filter(expr="kind == 'phash'").materialize()
+    hot_df = (topk_rows(hot_ds, k=5, by=["dup_count", "key"],
+                        ascending=[False, True])
+              if hot_ds.count() else _pd.DataFrame())
     hot = [{"phash": int(r["key"]), "dup_count": int(r["dup_count"])}
            for _, r in hot_df.iterrows()]
 

@@ -677,7 +677,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": """
             SELECT doc_id,
                    CAST(floor(1e9 * (-ln(
-                       (CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                       (CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 15))
+                             AS BIGINT)
                         + 1.0) / (power(2, 60) + 1.0))
                        / greatest(n_chars, 1))) AS BIGINT) AS key_nano
             FROM documents

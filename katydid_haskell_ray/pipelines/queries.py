@@ -767,9 +767,10 @@ def weighted_sample_docs(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
 
     def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        # null text hashes as '' (oracle mirrors with COALESCE(text, ''))
         v = np.fromiter(
             (int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-             for t in b["text"]), dtype=np.int64, count=len(b))
+             for t in b["text"].fillna("")), dtype=np.int64, count=len(b))
         u = (v.astype(np.float64) + 1.0) / (2.0 ** 60 + 1.0)
         w = np.maximum(b["n_chars"].to_numpy(), 1).astype(np.float64)
         key = -np.log(u) / w
@@ -911,16 +912,32 @@ def knn_ivf(sf_dir: str):
 
 def knn_ivf_persisted(sf_dir: str):
     """IVF top-k against a PERSISTED cell-partitioned index (no oracle —
-    approximate): builds the hive-partitioned layout once per sf under
+    approximate): builds the hive-partitioned layout once per input under
     /tmp (skipped when present — the build-once/resume story), then
     queries by reading ONLY the probed ``cell=`` directories.  Equality
-    with the in-memory IVF under shared centroids is pytest-verified."""
-    import os
+    with the in-memory IVF under shared centroids is pytest-verified.
 
-    index_dir = f"/tmp/graft_ivf/v1/{_sf_name(sf_dir)}"
+    The cache path is keyed on a (size, mtime) fingerprint of the
+    embeddings parquet — regenerating the table under the same sf name
+    invalidates the index — and the build lands in a temp dir promoted
+    by atomic rename, so concurrent runs can't interleave writes (the
+    loser just discards its build)."""
+    import os
+    import shutil
+
+    emb_path = _t(sf_dir, "embeddings")
+    st = os.stat(emb_path)
+    fp = f"{st.st_size:x}-{st.st_mtime_ns:x}"
+    index_dir = f"/tmp/graft_ivf/v1/{_sf_name(sf_dir)}-{fp}"
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        tmp_dir = f"{index_dir}.build-{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        SIM.build_ivf_index(ds, index_dir, n_centroids=32)
+        SIM.build_ivf_index(ds, tmp_dir, n_centroids=32)
+        try:
+            os.rename(tmp_dir, index_dir)
+        except OSError:  # a concurrent builder won the rename
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     qids, qvecs = _query_vecs(sf_dir)
     out = SIM.knn_topk_ivf_persisted(index_dir, qids, qvecs, k=5, nprobe=8)
     return out[["query_id", "vec_id", "rank"]].astype(np.int64)

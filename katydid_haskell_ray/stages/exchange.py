@@ -17,11 +17,19 @@ can't express efficiently):
             function
 
 Scale shape: identical exchange volume to the groupby it replaces
-(everything moves once), object count = blocks x buckets (bounded: blocks
-are >= target_max_block_size, buckets are O(100)).  Inputs are
-materialized first — exactly what any all-to-all shuffle does — and the
-object store spills shards as needed.  Ray-core lineage retries failed
-map/reduce tasks.
+(everything moves once).  Bucket counts are DATA-DERIVED
+(resolve_exchange: ~256 MB per reduce task, up to 65536), so object
+count is kept linear in blocks by capping per-task ``num_returns`` at
+``_RETURNS_CAP``: past the cap the exchange goes HIERARCHICAL — map
+tasks split into n_super = ceil(n_buckets / cap) contiguous-range super
+slices, then per super a regroup layer (each task concatenating a
+bounded group of block slices, ~2 blocks' bytes) re-splits into the
+final buckets.  Object count = blocks x n_super + groups x cap — linear
+in blocks for any bucket count — versus blocks x buckets flat (billions
+of shard objects at a 10 TB+ exchange).  Data still moves twice at most,
+the standard multi-round shuffle trade.  Inputs are materialized first —
+exactly what any all-to-all shuffle does — and the object store spills
+shards as needed.  Ray-core lineage retries failed map/reduce tasks.
 """
 
 from __future__ import annotations
@@ -109,6 +117,103 @@ def _split_block(tab: pa.Table, bucket_col: str, n_buckets: int,
         for i in range(n_buckets)))
 
 
+# Max num_returns per task.  A flat exchange makes blocks x n_buckets
+# shard objects; past this cap the shard plan goes hierarchical (module
+# docstring).  Tests shrink it to force the two-round path.
+_RETURNS_CAP = 1024
+
+
+def _final_buckets(tab: pa.Table, bucket_col: str, n_buckets: int,
+                   modular: bool) -> np.ndarray:
+    b = tab.column(bucket_col).to_numpy(zero_copy_only=False)
+    if modular:
+        b = (b.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+    return b.astype(np.int64, copy=False)
+
+
+def _argsort_slices(tab: pa.Table, key: np.ndarray, n: int):
+    """One stable argsort of ``key`` -> tuple of n zero-copy slices."""
+    order = np.argsort(key, kind="stable")
+    st = tab.take(pa.array(order))
+    bounds = np.searchsorted(key[order], np.arange(n + 1))
+    return tuple(
+        st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        .combine_chunks()
+        for i in range(n))
+
+
+def _split_super(tab, bucket_col: str, n_buckets: int, n_super: int,
+                 cap: int, modular: bool):
+    """Round-1 map split into contiguous-final-bucket-range super slices
+    (super = final_bucket // cap)."""
+    def ret(parts):
+        return parts[0] if n_super == 1 else parts
+
+    if isinstance(tab, pd.DataFrame):
+        if len(tab) == 0:
+            return ret(tuple(_EMPTY for _ in range(n_super)))
+        tab = pa.Table.from_pandas(tab, preserve_index=False)
+    if tab.num_rows == 0:
+        return ret(tuple(_EMPTY for _ in range(n_super)))
+    sup = _final_buckets(tab, bucket_col, n_buckets, modular) // cap
+    return ret(_argsort_slices(tab, sup, n_super))
+
+
+def _regroup_split(bucket_col: str, n_buckets: int, lo: int, cap_s: int,
+                   modular: bool, *shards):
+    """Round-2 regroup: concat one super's slices from a bounded block
+    group, re-split into the super's cap_s final buckets."""
+    def ret(parts):
+        return parts[0] if cap_s == 1 else parts
+
+    good = [s for s in shards if s.num_columns]
+    if not good:
+        return ret(tuple(_EMPTY for _ in range(cap_s)))
+    tab = pa.concat_tables(good, promote_options="default")
+    if tab.num_rows == 0:
+        return ret(tuple(_EMPTY for _ in range(cap_s)))
+    local = _final_buckets(tab, bucket_col, n_buckets, modular) - lo
+    return ret(_argsort_slices(tab, local, cap_s))
+
+
+def _shard_plan(block_refs, bucket_col: str, n_buckets: int, modular: bool):
+    """Per-bucket shard refs for an exchange input: ``plan[k]`` = the
+    object refs whose concatenation is bucket k.  Flat one-round split
+    while n_buckets <= _RETURNS_CAP; hierarchical two-round past it."""
+    cap = _RETURNS_CAP
+    if n_buckets <= cap:
+        split = ray.remote(num_returns=n_buckets)(_split_block)
+        parts = [split.remote(r, bucket_col, n_buckets, modular)
+                 for r in block_refs]
+        if n_buckets == 1:  # ray num_returns=1 yields a bare ref
+            parts = [[p] for p in parts]
+        return [[p[k] for p in parts] for k in range(n_buckets)]
+
+    n_super = -(-n_buckets // cap)
+    split1 = ray.remote(num_returns=n_super)(_split_super)
+    sup = [split1.remote(r, bucket_col, n_buckets, n_super, cap, modular)
+           for r in block_refs]
+    if n_super == 1:
+        sup = [[p] for p in sup]
+    # a regroup task concatenates one super's slices from ~2*n_super
+    # blocks — about two blocks' worth of bytes, independent of scale
+    group = max(1, 2 * n_super)
+    plan: list[list] = [[] for _ in range(n_buckets)]
+    for s in range(n_super):
+        lo = s * cap
+        cap_s = min(cap, n_buckets - lo)
+        regroup = ray.remote(num_returns=cap_s)(_regroup_split)
+        for g0 in range(0, len(sup), group):
+            refs = regroup.remote(
+                bucket_col, n_buckets, lo, cap_s, modular,
+                *[sup[i][s] for i in range(g0, min(g0 + group, len(sup)))])
+            if cap_s == 1:
+                refs = [refs]
+            for j in range(cap_s):
+                plan[lo + j].append(refs[j])
+    return plan
+
+
 def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
                       batch_format: str = "pandas", modular: bool = False,
                       max_bucket_bytes: int | None = None):
@@ -125,8 +230,6 @@ def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
     ``max_bucket_bytes`` (set by resolve_exchange) bounds a reduce task's
     concatenated input — the documented alternative to a silent OOM.
     """
-    split = ray.remote(num_returns=n_buckets)(_split_block)
-
     @ray.remote
     def reduce_bucket(*shards):
         good = [s for s in shards if s.num_columns]
@@ -150,11 +253,8 @@ def bucket_map_groups(ds, fn, *, n_buckets: int, bucket_col: str = "__bucket",
         return fn(tab)
 
     blocks = ds.materialize().to_arrow_refs()
-    parts = [split.remote(r, bucket_col, n_buckets, modular) for r in blocks]
-    if n_buckets == 1:  # ray num_returns=1 yields a bare ref, not a list
-        parts = [[p] for p in parts]
-    outs = [reduce_bucket.remote(*[p[k] for p in parts])
-            for k in range(n_buckets)]
+    plan = _shard_plan(blocks, bucket_col, n_buckets, modular)
+    outs = [reduce_bucket.remote(*plan[k]) for k in range(n_buckets)]
     return ray.data.from_arrow_refs(outs)
 
 
@@ -242,7 +342,6 @@ def bucket_cogroup(left, right, fn, *, n_buckets: int | None = None,
         floor = max(8, int(ray.cluster_resources().get("CPU", 8)))
         n_buckets = int(min(65536, max(floor, -(-sz // tb))))
         max_bucket_bytes = BUCKET_SKEW_FACTOR * max(tb, -(-sz // n_buckets))
-    split = ray.remote(num_returns=n_buckets)(_split_block)
 
     @ray.remote
     def reduce_bucket(nl, *shards):
@@ -264,14 +363,8 @@ def bucket_cogroup(left, right, fn, *, n_buckets: int | None = None,
         out = fn(ldf, rdf)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    lrefs = lmat.to_arrow_refs()
-    rrefs = rmat.to_arrow_refs()
-    lparts = [split.remote(r, bucket_col, n_buckets, modular) for r in lrefs]
-    rparts = [split.remote(r, bucket_col, n_buckets, modular) for r in rrefs]
-    if n_buckets == 1:  # ray num_returns=1 yields a bare ref, not a list
-        lparts = [[p] for p in lparts]
-        rparts = [[p] for p in rparts]
-    outs = [reduce_bucket.remote(len(lparts),
-                                 *[p[k] for p in lparts + rparts])
+    lplan = _shard_plan(lmat.to_arrow_refs(), bucket_col, n_buckets, modular)
+    rplan = _shard_plan(rmat.to_arrow_refs(), bucket_col, n_buckets, modular)
+    outs = [reduce_bucket.remote(len(lplan[k]), *lplan[k], *rplan[k])
             for k in range(n_buckets)]
     return ray.data.from_arrow_refs(outs)

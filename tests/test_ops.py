@@ -849,6 +849,47 @@ def test_exchange_and_dedupe_empty_inputs(ray_session):
         col="caption").count() == 0
 
 
+def test_hierarchical_exchange_equals_flat(ray_session, monkeypatch):
+    """Past _RETURNS_CAP the shard plan goes two-round (map -> regroup ->
+    reduce); with the cap shrunk to force that path, bucket_map_groups
+    and hash_join must produce exactly the flat-path results."""
+    import ray.data
+    from katydid_haskell_ray.stages import exchange as EX
+    from katydid_haskell_ray.stages.join import hash_join
+    from katydid_haskell_ray.stages.keys import add_hash_fn
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 200, size=5000),
+                       "v": rng.integers(0, 100, size=5000)})
+    ds = ray.data.from_pandas(df).repartition(7).map_batches(
+        add_hash_fn("k"), batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    flat = EX.bucket_map_groups(ds, per_bucket, n_buckets=16, modular=True) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    monkeypatch.setattr(EX, "_RETURNS_CAP", 4)
+    hier = EX.bucket_map_groups(ds, per_bucket, n_buckets=16, modular=True) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(hier[["k", "v"]], flat[["k", "v"]])
+    want = df.groupby("k", as_index=False)["v"].sum()
+    pd.testing.assert_frame_equal(
+        hier[["k", "v"]].astype("int64"), want.astype("int64"))
+
+    # cogroup through the hierarchical plan: hash_join vs pandas merge
+    right = pd.DataFrame({"k": np.arange(0, 200, 3),
+                          "r": np.arange(0, 200, 3) * 10})
+    out = hash_join(ray.data.from_pandas(df), ray.data.from_pandas(right),
+                    key="k", left_cols=["v"], right_cols=["r"],
+                    n_buckets=16).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    exp = df.merge(right, on="k").sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "v", "r"]].astype("int64"),
+                                  exp[["k", "v", "r"]].astype("int64"))
+
+
 def test_audio_video_actor_stages(ray_session):
     """The audio/video actor-pool plumbing runs end-to-end on Ray with the
     deterministic stub codecs: binary column in, fixed-size-list feature

@@ -611,21 +611,41 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
         # sorts last; the hottest 65536 suffice, so no corpus count needed
         hot_df = 64
 
-    from katydid_haskell_ray.stages.keys import add_hash_fn, partial_key_counts
-    df_partials = fmat.map_batches(partial_key_counts("sh"),
-                                   batch_format="pyarrow") \
-        .map_batches(add_hash_fn("sh"), batch_format="pyarrow")
+    def df_partial(t: pa.Table) -> pa.Table:
+        # BOUNDED per-block partial: the top-256 locally-REPEATING
+        # shingles by in-block document frequency.  A truly hot shingle
+        # (the stop-word case this pass exists for) repeats inside
+        # essentially every block, so it tops these partials; one spread
+        # so thin it never repeats locally has per-bucket posting lists
+        # bounded by the block count and is harmless — the chunked merge
+        # is the hard memory bound either way.  Bounded partials are
+        # DRIVER-reduced (blocks x 256 rows), never shuffled: an exact
+        # DF exchange here would double the pipeline's shuffle volume
+        # for a pure ordering knob.
+        arr = t.column("sh")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = arr.value_counts()
+        cnt = vc.field("counts").cast(pa.int64())
+        keep = pa.compute.greater_equal(cnt, 2)
+        part = pa.table({"sh": vc.field("values").filter(keep),
+                         "cnt": cnt.filter(keep)})
+        if part.num_rows > 256:
+            order = pa.compute.sort_indices(
+                part, sort_keys=[("cnt", "descending")])
+            part = part.take(order[:256])
+        return part
 
-    def hot_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("sh", as_index=False)["cnt"].sum()
-        return s[s["cnt"] >= hot_df].nlargest(65536, "cnt")
-
-    dmat, dnb, dmax = resolve_exchange(df_partials)
-    hot_parts = bucket_map_groups(dmat, hot_bucket, n_buckets=dnb,
-                                  modular=True,
-                                  max_bucket_bytes=dmax).to_pandas()
-    hot_sh = (hot_parts.nlargest(65536, "cnt")["sh"].to_numpy()
-              if len(hot_parts) else np.empty(0, np.int64))
+    hot_parts = fmat.map_batches(df_partial,
+                                 batch_format="pyarrow").to_pandas()
+    hot_sum = (hot_parts.groupby("sh", as_index=False)["cnt"].sum()
+               if len(hot_parts) else pd.DataFrame(columns=["sh", "cnt"]))
+    # the local >=2 / top-256 prefilter undercounts: halve the global
+    # threshold to stay conservative (ordering knob — exactness never
+    # depends on the hot set)
+    hot_sum = hot_sum[hot_sum["cnt"] >= max(2, hot_df // 2)]
+    hot_sh = (hot_sum.nlargest(65536, "cnt")["sh"].to_numpy()
+              if len(hot_sum) else np.empty(0, np.int64))
     hot_ref = ray.put(np.sort(hot_sh.astype(np.int64)))
 
     # ---- stage 1: prefix postings -> size-filtered candidate pairs ----

@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_ref": Q.images_caption_ref,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
         "images_features": Q.images_features,            # rows-only (codec)
+        # --- round-4 additions (selfcheck-covered; gate window unchanged) ---
+        "events_user_asof": Q.events_user_asof,
+        "events_funnel": Q.events_funnel,
     }
 
 
@@ -1056,6 +1059,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_cents,
                    CAST(any_value(med_cents) AS BIGINT) AS med_cents
             FROM d GROUP BY event_type
+        """,
+        "events_user_asof": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT MAX(CAST(epoch(o.o_orderdate) AS BIGINT))
+                    FROM orders o
+                    WHERE o.o_custkey = e.user_id
+                      AND epoch(o.o_orderdate) <= epoch(e.ts))
+                       AS last_user_order_s
+            FROM events e
+        """,
+        "events_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+                   GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps_completed
+            FROM u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
         """,
         "events_user_rank": """
             SELECT event_id, user_id,

@@ -2530,3 +2530,77 @@ def users_per_type_approx(sf_dir: str):
     bounds the relative error against the exact operator."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return K.grouped_approx_distinct(ds, "event_type", "user_id")
+
+
+def events_user_asof(sf_dir: str):
+    """KEYED as-of join (round 4): for each event, the same USER's most
+    recent order date (epoch s) at or before the event timestamp —
+    stages/join.asof_join_keyed: both sides exchange on the user-key
+    hash, one vectorized pandas merge_asof(by=key) per bucket.  The
+    broadcast-timeline variant (events_asof_order) covers the global
+    case; this is the per-key time-series enrichment join.  Oracle:
+    correlated MAX subquery."""
+    from katydid_haskell_ray.stages.join import asof_join_keyed
+
+    def prep_e(b: pa.Table) -> pa.Table:
+        s = b.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 1_000_000
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "ts_s": pa.array(s, type=pa.int64())})
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        s = b.column("o_orderdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 1_000_000
+        return pa.table({"user_id": b["o_custkey"],
+                         "ts_s": pa.array(s, type=pa.int64())})
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(prep_e, batch_format="pyarrow")
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(prep_o, batch_format="pyarrow")
+    out = asof_join_keyed(ev, od, key="user_id", ts_col="ts_s",
+                          out_col="last_user_order_s",
+                          left_cols=["event_id"])
+    return out.select_columns(["event_id", "user_id", "last_user_order_s"])
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """Ordered funnel (round 4): how far through view -> click ->
+    purchase each user progressed, where each step must occur STRICTLY
+    after the user's earliest completion of the previous step (the
+    classic sequence-match / conversion-funnel operator).  One
+    user-bucketed exchange (a user never spans buckets); per bucket the
+    frontier advances with vectorized filter + groupby-min per step —
+    no per-event Python.  Oracle: chained MIN-subquery CTEs."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": pa.array(us, type=pa.int64()),
+                         "event_type": b["event_type"]})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(g["user_id"].unique())
+        done = pd.Series(0, index=users, dtype=np.int64)
+        frontier = None  # user -> earliest ts completing the previous step
+        for i, step in enumerate(FUNNEL_STEPS):
+            e = g.loc[g["event_type"] == step, ["user_id", "ts_us"]]
+            if i > 0:
+                e = e.join(frontier.rename("__ft"), on="user_id",
+                           how="inner")
+                e = e[e["ts_us"] > e["__ft"]]
+            frontier = e.groupby("user_id")["ts_us"].min()
+            if frontier.empty:
+                break
+            done.loc[frontier.index] = i + 1
+        return pd.DataFrame({"user_id": users.to_numpy(),
+                             "steps_completed": done.to_numpy()})
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)

@@ -134,6 +134,68 @@ def hash_join(left, right, *, key: str | list[str], left_cols: list[str],
                           n_buckets=n_buckets, modular=True)
 
 
+def asof_join_keyed(left, right, *, key: str, ts_col: str,
+                    right_ts_col: str | None = None,
+                    out_col: str = "asof",
+                    left_cols: list[str] | None = None,
+                    n_buckets: int | None = None):
+    """Per-KEY as-of join of two LARGE Datasets: for each left row, the
+    greatest right timestamp <= the left row's timestamp WITHIN the same
+    key — the time-series enrichment join (trades-vs-quotes, events-vs-
+    orders).  :func:`asof_lookup` is the broadcast variant for ONE global
+    timeline; this one exchanges BOTH sides on the key hash (a key's rows
+    co-locate in exactly one bucket) and runs one vectorized
+    ``pandas.merge_asof(by=key)`` per bucket — no Python loops, no
+    broadcast of a fact-sized side.  Left rows before their key's first
+    right timestamp (or with no right rows at all) get a null ``out_col``.
+    Bucket count derives from both sides' materialized bytes unless
+    pinned.  Timestamps must be an orderable numeric/timestamp column;
+    ``out_col`` carries the matched right timestamp."""
+    from katydid_haskell_ray.stages.exchange import bucket_cogroup
+
+    rts = right_ts_col or ts_col
+
+    def tag(cols):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.select(cols)
+            h = SK.hash64_array(b.column(key))
+            return b.append_column("__bucket", pa.array(h.astype(np.uint64)))
+        return f
+
+    lproj = [key, ts_col] + [c for c in (left_cols or [])
+                             if c not in (key, ts_col)]
+    tl = left.map_batches(tag(lproj), batch_format="pyarrow")
+    tr = right.map_batches(tag([key, rts]), batch_format="pyarrow")
+
+    def per_bucket(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.shape[1] == 0:
+            return ldf
+        ldf = ldf.drop(columns="__bucket").sort_values(ts_col,
+                                                       kind="mergesort")
+        if rdf.shape[1] == 0 or len(rdf) == 0:
+            out = ldf.copy()
+            out[out_col] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        rdf = (rdf[[key, rts]].rename(columns={rts: out_col})
+               .sort_values(out_col, kind="mergesort"))
+        merged = pd.merge_asof(ldf, rdf, left_on=ts_col, right_on=out_col,
+                               by=key, direction="backward")
+        merged[out_col] = merged[out_col].astype("Int64")
+        return merged
+
+    joined = bucket_cogroup(tl, tr, per_bucket, n_buckets=n_buckets,
+                            modular=True)
+
+    def strip_pandas_meta(t: pa.Table) -> pa.Table:
+        # rebuild without the from_pandas extension-dtype metadata: the
+        # output contract is plain arrow int64 (+null mask where
+        # unmatched), so downstream to_pandas gives int64 / float64-NaN
+        # exactly like any SQL engine's nullable BIGINT
+        return pa.table({c: t.column(c) for c in t.column_names})
+
+    return joined.map_batches(strip_pandas_meta, batch_format="pyarrow")
+
+
 def range_lookup(ds, *, value_col: str, lower: np.ndarray, upper: np.ndarray,
                  labels: np.ndarray, out_col: str = "band",
                  how: str = "inner"):

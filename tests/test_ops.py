@@ -285,6 +285,39 @@ def test_hash_join_left_mark(ray_session):
     assert len(out2) == 5 and not out2["hit"].any()
 
 
+def test_asof_join_keyed_vs_brute(ray_session):
+    """Per-key as-of join equals the brute per-row max(right_ts <= ts)
+    within the key, with null for keys lacking any prior right row."""
+    import ray.data
+    from katydid_haskell_ray.stages.join import asof_join_keyed
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, size=200),
+        "ts": rng.integers(0, 1000, size=200).astype(np.int64),
+        "payload": np.arange(200, dtype=np.int64)})
+    # keys 10, 11 have NO right rows at all
+    right = pd.DataFrame({
+        "k": rng.integers(0, 10, size=80),
+        "ts": rng.integers(0, 1000, size=80).astype(np.int64)})
+    out = asof_join_keyed(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", ts_col="ts", out_col="m",
+        left_cols=["payload"], n_buckets=4).to_pandas() \
+        .sort_values("payload").reset_index(drop=True)
+
+    def brute(row):
+        c = right[(right["k"] == row["k"]) & (right["ts"] <= row["ts"])]
+        return np.nan if c.empty else c["ts"].max()
+
+    want = left.sort_values("payload").reset_index(drop=True)
+    want_m = want.apply(brute, axis=1)
+    got_m = out["m"].astype("float64")
+    assert len(out) == len(left)
+    assert np.allclose(got_m.fillna(-1), want_m.fillna(-1))
+    assert got_m.isna().any()  # the no-right-rows keys produce nulls
+
+
 def test_asof_lookup(ray_session):
     import pyarrow as pa
     import ray.data

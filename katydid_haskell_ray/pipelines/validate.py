@@ -502,7 +502,6 @@ def run_validation(images_path: str, out_dir: str, *,
 
     from katydid_haskell_ray.stages.exchange import (
         bucket_map_groups, resolve_exchange)
-    from katydid_haskell_ray.stages.topk import topk_rows
     _mat, _nb, _max = resolve_exchange(
         partials.filter(expr="kind != 'stat'")
         .select_columns(["kind", "key", "cnt"])
@@ -519,11 +518,28 @@ def run_validation(images_path: str, out_dir: str, *,
         modular=True, max_bucket_bytes=_max).materialize()
     _shutil.rmtree(os.path.join(out_dir, "dup_keys"), ignore_errors=True)
     key_counts.write_parquet(os.path.join(out_dir, "dup_keys"))
-    n_dup_ids = key_counts.filter(expr="kind == 'image_id'").count()
-    hot_ds = key_counts.filter(expr="kind == 'phash'").materialize()
-    hot_df = (topk_rows(hot_ds, k=5, by=["dup_count", "key"],
-                        ascending=[False, True])
-              if hot_ds.count() else _pd.DataFrame())
+
+    def _dup_summary(t: pa.Table) -> _pd.DataFrame:
+        # ONE bounded per-block partial for everything the report needs:
+        # per-kind dup counts (key=null rows) + the block's top-5 hot
+        # phashes — driver sees O(blocks x 7) rows, never the key list
+        df = t.to_pandas()
+        cnt = (df.groupby("kind", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        cnt["key"] = _pd.array([None] * len(cnt), dtype="Int64")
+        cnt["dup_count"] = _pd.array([None] * len(cnt), dtype="Int64")
+        top = df[df["kind"] == "phash"].nlargest(5, "dup_count")[
+            ["kind", "key", "dup_count"]].copy()
+        top["n"] = _pd.array([None] * len(top), dtype="Int64")
+        return _pd.concat([cnt[["kind", "key", "dup_count", "n"]], top],
+                          ignore_index=True)
+
+    summary = key_counts.map_batches(
+        _dup_summary, batch_format="pyarrow").to_pandas()
+    n_dup_ids = int(summary.loc[summary["key"].isna()
+                                & (summary["kind"] == "image_id"),
+                                "n"].sum())
+    hot_df = summary[summary["key"].notna()].nlargest(5, "dup_count")
     hot = [{"phash": int(r["key"]), "dup_count": int(r["dup_count"])}
            for _, r in hot_df.iterrows()]
 

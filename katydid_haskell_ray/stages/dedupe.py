@@ -560,35 +560,16 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
     from katydid_haskell_ray.stages.exchange import (
         bucket_map_groups, resolve_exchange)
 
-    def _postings(batch: pa.Table, hot: np.ndarray | None) -> pa.Table:
-        """Distinct (shingle, doc, set-size) rows; ``hot`` not None =>
-        prefix rows only, under the (is_hot, hash) total order."""
+    def _postings(batch: pa.Table) -> pa.Table:
+        """Distinct (shingle, doc, set-size) rows — the ONE shingling
+        pass; prefixes re-derive from these rows downstream."""
         texts = batch.column(col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         flat, offsets = flat_shingle_hashes(texts, shingle)
-        # vectorized per-doc distinct + rank: (row, hash) dedup, sort,
-        # cumcount < prefix_len(row)
         row = np.repeat(np.arange(len(texts)), np.diff(offsets))
         df = pd.DataFrame({"r": row, "h": flat.view(np.int64)}) \
-            .drop_duplicates()
-        if hot is None:
-            df = df.sort_values(["r", "h"], kind="mergesort")
-            sizes = df.groupby("r")["h"].transform("size").to_numpy()
-        else:
-            hv = df["h"].to_numpy()
-            if len(hot):
-                idx = np.searchsorted(hot, hv)
-                ishot = (idx < len(hot)) & \
-                    (hot[np.minimum(idx, len(hot) - 1)] == hv)
-            else:
-                ishot = np.zeros(len(hv), dtype=bool)
-            df["hot"] = ishot
-            df = df.sort_values(["r", "hot", "h"], kind="mergesort")
-            sizes = df.groupby("r")["h"].transform("size").to_numpy()
-            rank = df.groupby("r").cumcount().to_numpy()
-            plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
-            keep = rank < plen
-            df, sizes = df[keep], sizes[keep]
+            .drop_duplicates().sort_values(["r", "h"], kind="mergesort")
+        sizes = df.groupby("r")["h"].transform("size").to_numpy()
         return pa.table({
             "sh": pa.array(df["h"].to_numpy(), type=pa.int64()),
             id_col: pa.array(ids[df["r"].to_numpy()], type=pa.int64()),
@@ -604,7 +585,7 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
 
     # ---- stage 0: full postings (stage-2 input + DF source) + hot set ----
     full = ds.select_columns([id_col, col]).map_batches(
-        lambda t: _postings(t, None), batch_format="pyarrow")
+        _postings, batch_format="pyarrow")
     fmat = full.materialize()
     if hot_df is None:
         # pure perf knob (ordering only): any shingle in >= hot_df docs
@@ -661,11 +642,38 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
         return _self_merge_chunked(g[["sh", id_col, "sz"]], consume) \
             .drop_duplicates()
 
-    def pref(t: pa.Table) -> pa.Table:
-        return _postings(t, ray.get(hot_ref))
+    def prefix_from_postings(t: pa.Table) -> pa.Table:
+        # prefixes derive from the ALREADY-materialized postings — no
+        # second read/tokenize/shingle pass over the corpus.  plen uses
+        # the TRUE per-doc set size carried in ``sz``, so if Ray ever
+        # splits a doc's posting rows across blocks, each block keeps its
+        # local (is_hot, hash)-smallest plen rows — a SUPERSET of the
+        # true prefix (fewer elements can precede a true-prefix element
+        # locally than globally), and extra candidates only cost work,
+        # never correctness.
+        hot = ray.get(hot_ref)
+        df = pd.DataFrame({
+            "sh": t.column("sh").to_numpy(zero_copy_only=False),
+            id_col: t.column(id_col).to_numpy(zero_copy_only=False),
+            "sz": t.column("sz").to_numpy(zero_copy_only=False)})
+        if len(hot):
+            idx = np.searchsorted(hot, df["sh"].to_numpy())
+            df["hot"] = (idx < len(hot)) & \
+                (hot[np.minimum(idx, len(hot) - 1)] == df["sh"].to_numpy())
+        else:
+            df["hot"] = False
+        df = df.sort_values([id_col, "hot", "sh"], kind="mergesort")
+        rank = df.groupby(id_col).cumcount().to_numpy()
+        sz = df["sz"].to_numpy()
+        plen = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+        df = df[rank < plen]
+        return pa.table({
+            "sh": pa.array(df["sh"].to_numpy(), type=pa.int64()),
+            id_col: pa.array(df[id_col].to_numpy(), type=pa.int64()),
+            "sz": pa.array(df["sz"].to_numpy(), type=pa.int64()),
+            "__bucket": pa.array(df["sh"].to_numpy().view(np.uint64))})
 
-    prefixed = ds.select_columns([id_col, col]).map_batches(
-        pref, batch_format="pyarrow")
+    prefixed = fmat.map_batches(prefix_from_postings, batch_format="pyarrow")
     mat, nb, max_b = resolve_exchange(prefixed)
     cand = bucket_map_groups(mat, bucket_pairs, n_buckets=nb, modular=True,
                              max_bucket_bytes=max_b).materialize()

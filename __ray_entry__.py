@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 additions (selfcheck-covered; gate window unchanged) ---
         "events_user_asof": Q.events_user_asof,
         "events_funnel": Q.events_funnel,
+        "doc_char_entropy": Q.doc_char_entropy,
     }
 
 
@@ -1090,6 +1091,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 ON u.user_id = s1.user_id
             LEFT JOIN s2 ON u.user_id = s2.user_id
             LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "doc_char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT doc_id, c, COUNT(*) AS n FROM ch
+                  GROUP BY doc_id, c),
+            t AS (SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS tot FROM f
+                  GROUP BY doc_id)
+            SELECT f.doc_id,
+                   CAST(SUM(CAST(floor(1e6 * -((n / tot)
+                        * ln(n / tot))) AS BIGINT)) AS BIGINT)
+                       AS entropy_micro
+            FROM f JOIN t ON f.doc_id = t.doc_id
+            GROUP BY f.doc_id
         """,
         "events_user_rank": """
             SELECT event_id, user_id,

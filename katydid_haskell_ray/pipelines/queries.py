@@ -2565,6 +2565,42 @@ def events_user_asof(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "last_user_order_s"])
 
 
+def doc_char_entropy(sf_dir: str):
+    """Per-document character-distribution Shannon entropy (round 4) — a
+    standard LLM-training-data quality signal (gibberish/boilerplate
+    detection).  Fully vectorized: one utf-32 decode per batch, per-doc
+    codepoint counts via a single groupby, entropy from the count
+    matrix.  Cross-engine float parity: each character's term
+    floor(1e6 * -(n/tot)·ln(n/tot)) is floored to int64 BEFORE the
+    per-doc sum (integer sums are order-free; both engines compute each
+    term from the same exact integers — the module-docstring
+    convention)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["text"].notna()]
+        texts = b["text"].tolist()
+        ids = b["doc_id"].to_numpy()
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=len(texts))
+        cps = np.frombuffer("".join(texts).encode("utf-32-le"),
+                            dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        cnt = (pd.DataFrame({"d": doc_idx, "c": cps})
+               .groupby(["d", "c"]).size())
+        d = cnt.index.get_level_values(0).to_numpy()
+        n = cnt.to_numpy(dtype=np.float64)
+        tot = lens[d].astype(np.float64)
+        p = n / tot
+        term = np.floor(1e6 * -(p * np.log(p))).astype(np.int64)
+        ent = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(ent, d, term)
+        return pd.DataFrame({"doc_id": ids,
+                             "entropy_micro": ent})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 

@@ -90,8 +90,8 @@ def run_bench() -> dict:
         "jaccard_pairs_docs", "caption_edit1_pairs", "docs_drift_psi",
         "weighted_sample_docs", "events_first_last", "revenue_by_region",
         "docs_user_ref_bloom",
-        # round 4: keyed as-of join / conversion funnel
-        "events_user_asof", "events_funnel")
+        # round 4: keyed as-of join / conversion funnel / char entropy
+        "events_user_asof", "events_funnel", "doc_char_entropy")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_asof": Q.events_user_asof,
         "events_funnel": Q.events_funnel,
         "doc_char_entropy": Q.doc_char_entropy,
+        "docs_pmi_bigrams": Q.docs_pmi_bigrams,
     }
 
 
@@ -1091,6 +1092,40 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 ON u.user_id = s1.user_id
             LEFT JOIN s2 ON u.user_id = s2.user_id
             LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "docs_pmi_bigrams": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '')) AS token
+                FROM documents WHERE text IS NOT NULL),
+            tc AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+            tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tok FROM tc),
+            bgl AS (
+                SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents WHERE text IS NOT NULL),
+            bg AS (
+                SELECT unnest(list_transform(
+                           generate_series(1, len(t) - 1), i -> t[i]))
+                           AS first,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 1), i -> t[i+1]))
+                           AS second
+                FROM bgl WHERE len(t) >= 2),
+            bc AS (SELECT first, second, COUNT(*) AS c_xy FROM bg
+                   GROUP BY first, second),
+            bt AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n_bg FROM bc)
+            SELECT first || ' ' || second AS bigram,
+                   CAST(c_xy AS BIGINT) AS n,
+                   CAST(floor(1e6 * ln((c_xy / bt.n_bg)
+                        / ((x.c / tt.n_tok) * (y.c / tt.n_tok))))
+                        AS BIGINT) AS pmi_micro
+            FROM bc
+            JOIN tc x ON bc.first = x.token
+            JOIN tc y ON bc.second = y.token
+            CROSS JOIN bt CROSS JOIN tt
+            WHERE c_xy >= 5
+            ORDER BY pmi_micro DESC, bigram ASC LIMIT 20
         """,
         "doc_char_entropy": """
             WITH ch AS (

@@ -2565,6 +2565,97 @@ def events_user_asof(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "last_user_order_s"])
 
 
+def docs_pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 20):
+    """Top-k collocations by pointwise mutual information (round 4):
+    PMI(x,y) = ln( (c_xy/N_bg) / ((c_x/N_tok)(c_y/N_tok)) ) over
+    whitespace tokens — the classic collocation-extraction operator.
+
+    Fully distributed: token and bigram counts are combiner partials
+    through the bucketed exchange; bigrams below ``min_count`` are
+    pruned BEFORE the joins (so the join input is the interesting tail,
+    not the vocabulary); constituent token counts attach via two
+    partitioned hash joins; totals are driver scalars from the partial
+    streams; the final score is ONE float expression over exact
+    integers (ln-parity convention) and the top-k is the local-head-k
+    combiner, never a total sort."""
+    from katydid_haskell_ray.stages.join import hash_join
+    from katydid_haskell_ray.stages.topk import topk_rows
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].dropna().str.findall(r"\S+").explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.to_numpy()})
+
+    def bg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t in b["text"].dropna():
+            w = t.split()
+            rows.extend(zip(w, w[1:]))
+        if not rows:
+            return pd.DataFrame({"first": pd.Series([], dtype=str),
+                                 "second": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame(rows, columns=["first", "second"])
+        vc = df.value_counts()
+        out = vc.index.to_frame(index=False)
+        out["cnt"] = vc.to_numpy()
+        return out
+
+    from katydid_haskell_ray.stages.exchange import bucketed_group_sum
+    tok_counts = bucketed_group_sum(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["token"]).materialize()
+    bg_counts = bucketed_group_sum(
+        ds.map_batches(bg_partial, batch_format="pandas"),
+        ["first", "second"]).materialize()
+
+    # totals: tiny per-block partial sums, driver-reduced
+    def total_of(counts) -> int:
+        parts = counts.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [pa.compute.sum(t.column("cnt")).as_py() or 0],
+                type=pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        return int(parts["n"].sum())
+
+    n_tok, n_bg = total_of(tok_counts), total_of(bg_counts)
+
+    frequent = bg_counts.filter(expr=f"cnt >= {min_count}").map_batches(
+        lambda t: pa.table({"first": t.column("first"),
+                            "second": t.column("second"),
+                            "c_xy": t.column("cnt")}),
+        batch_format="pyarrow")
+    toks1 = tok_counts.map_batches(
+        lambda t: pa.table({"first": t.column("token"),
+                            "c_x": t.column("cnt")}),
+        batch_format="pyarrow")
+    j1 = hash_join(frequent, toks1, key="first",
+                   left_cols=["second", "c_xy"], right_cols=["c_x"])
+    toks2 = tok_counts.map_batches(
+        lambda t: pa.table({"second": t.column("token"),
+                            "c_y": t.column("cnt")}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1.materialize(), toks2, key="second",
+                   left_cols=["first", "c_xy", "c_x"], right_cols=["c_y"])
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        pmi = np.log((df["c_xy"].to_numpy(dtype=np.float64) / n_bg)
+                     / ((df["c_x"].to_numpy(dtype=np.float64) / n_tok)
+                        * (df["c_y"].to_numpy(dtype=np.float64) / n_tok)))
+        return pd.DataFrame({
+            "bigram": df["first"] + " " + df["second"],
+            "n": df["c_xy"].astype(np.int64),
+            "pmi_micro": np.floor(1e6 * pmi).astype(np.int64)})
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    out = topk_rows(scored, k=k, by=["pmi_micro", "bigram"],
+                    ascending=[False, True])
+    return out.astype({"n": np.int64, "pmi_micro": np.int64})
+
+
 def doc_char_entropy(sf_dir: str):
     """Per-document character-distribution Shannon entropy (round 4) — a
     standard LLM-training-data quality signal (gibberish/boilerplate

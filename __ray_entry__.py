@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": Q.events_funnel,
         "doc_char_entropy": Q.doc_char_entropy,
         "docs_pmi_bigrams": Q.docs_pmi_bigrams,
+        "docs_contamination": Q.docs_contamination,
     }
 
 
@@ -1092,6 +1093,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 ON u.user_id = s1.user_id
             LEFT JOIN s2 ON u.user_id = s2.user_id
             LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "docs_contamination": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents WHERE text IS NOT NULL),
+            g AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(
+                             generate_series(1, len(t) - 4),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3] || ' ' || t[i+4])
+                    END) AS gram
+                FROM tok WHERE len(t) > 0),
+            hits AS (
+                SELECT DISTINCT doc_id FROM g
+                WHERE doc_id % 97 <> 0
+                  AND gram IN (SELECT gram FROM g WHERE doc_id % 97 = 0))
+            SELECT d.doc_id,
+                   d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         """,
         "docs_pmi_bigrams": r"""
             WITH tok AS (

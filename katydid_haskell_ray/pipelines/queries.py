@@ -2565,6 +2565,58 @@ def events_user_asof(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "last_user_order_s"])
 
 
+def docs_contamination(sf_dir: str, k: int = 5):
+    """Benchmark decontamination (round 4): flag every training document
+    sharing ANY word k-gram with the benchmark split (here: the
+    deterministic doc_id % 97 == 0 subset standing in for an eval set) —
+    the standard eval-leakage scan run before LLM training.
+
+    Distributed shape: one shingling pass emits (gram-hash, doc) posting
+    rows split by side; the benchmark side reduces to distinct gram
+    values (combiner exchange); a partitioned SEMI join finds training
+    postings hitting a benchmark gram; distinct hit doc ids MARK-join
+    back onto the training universe.  Gram equality is 64-bit
+    polynomial-hash equality (the jaccard/minhash convention — the
+    string-gram oracle would expose a collision).  Short docs
+    (0 < tokens < k) collapse to one whole-doc gram, exactly like the
+    shingle oracle."""
+    from katydid_haskell_ray.stages.dedupe import flat_shingle_hashes
+    from katydid_haskell_ray.stages.join import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings(bench_side: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = (ids % 97 == 0) if bench_side else (ids % 97 != 0)
+            texts = [t for t, k_ in zip(b.column("text").to_pylist(), keep)
+                     if k_]
+            ids = ids[keep]
+            flat, offsets = flat_shingle_hashes(texts, k)
+            row = np.repeat(np.arange(len(texts)), np.diff(offsets))
+            df = pd.DataFrame({"r": row, "g": flat.view(np.int64)}) \
+                .drop_duplicates()
+            return pa.table({
+                "gram": pa.array(df["g"].to_numpy(), type=pa.int64()),
+                "doc_id": pa.array(ids[df["r"].to_numpy()],
+                                   type=pa.int64())})
+        return f
+
+    bench_grams = K.distinct_values(
+        ds.map_batches(postings(True), batch_format="pyarrow"), "gram")
+    train_postings = ds.map_batches(postings(False), batch_format="pyarrow")
+    hits = hash_join(train_postings, bench_grams, key="gram",
+                     left_cols=["doc_id"], right_cols=[], how="left_semi")
+    hit_ids = K.distinct_values(hits, "doc_id")
+    universe = ds.map_batches(
+        lambda t: t.select(["doc_id"]).filter(pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 97 != 0)),
+        batch_format="pyarrow")
+    return hash_join(universe, hit_ids, key="doc_id", left_cols=[],
+                     right_cols=[], how="left_mark",
+                     mark_col="contaminated")
+
+
 def docs_pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 20):
     """Top-k collocations by pointwise mutual information (round 4):
     PMI(x,y) = ln( (c_xy/N_bg) / ((c_x/N_tok)(c_y/N_tok)) ) over

@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_entropy": Q.doc_char_entropy,
         "docs_pmi_bigrams": Q.docs_pmi_bigrams,
         "docs_contamination": Q.docs_contamination,
+        "images_fmt_magic": Q.images_fmt_magic,
+        "embedding_norms": Q.embedding_norms,
     }
 
 
@@ -1093,6 +1095,35 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s1 ON u.user_id = s1.user_id
             LEFT JOIN s2 ON u.user_id = s2.user_id
             LEFT JOIN s3 ON u.user_id = s3.user_id
+        """,
+        "images_fmt_magic": f"""
+            SELECT image_id,
+                   COALESCE(CASE fmt
+                       WHEN 'png' THEN
+                           starts_with(hex(bytes), '89504E470D0A1A0A')
+                       WHEN 'bmp' THEN starts_with(hex(bytes), '424D')
+                       WHEN 'jpeg' THEN starts_with(hex(bytes), 'FFD8FF')
+                       ELSE FALSE END, FALSE) AS magic_ok
+            FROM {_IMAGES}
+        """,
+        "embedding_norms": """
+            WITH q AS (
+                SELECT vec_id,
+                       CAST(floor(sqrt(CAST(list_sum(list_transform(
+                            embedding,
+                            x -> CAST(floor(1e6 * x) AS BIGINT)
+                                 * CAST(floor(1e6 * x) AS BIGINT)))
+                            AS DOUBLE))) AS BIGINT) AS norm_micro
+                FROM embeddings),
+            m AS (SELECT COUNT(*) AS n, SUM(norm_micro) AS s,
+                         SUM(norm_micro * norm_micro) AS ss FROM q),
+            b AS (SELECT CAST(s AS DOUBLE) / n AS mean,
+                         sqrt((ss - CAST(s AS DOUBLE) * s / n) / n) AS sd
+                  FROM m)
+            SELECT q.vec_id, q.norm_micro,
+                   (q.norm_micro < b.mean - 3 * b.sd
+                    OR q.norm_micro > b.mean + 3 * b.sd) AS is_outlier
+            FROM q, b
         """,
         "docs_contamination": r"""
             WITH tok AS (

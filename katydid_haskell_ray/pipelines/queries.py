@@ -2565,6 +2565,88 @@ def events_user_asof(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "last_user_order_s"])
 
 
+def images_fmt_magic(sf_dir: str):
+    """Declared-format vs payload-magic agreement (round 4): does each
+    row's ``fmt`` column match its byte payload's magic prefix?  The
+    ORACLED twin of the rows-only decode check family — no codec needed,
+    just vectorized ``pc.binary_slice`` prefix compares, over a read
+    pruned to exactly (image_id, fmt, bytes).  Null/unknown fmt and
+    short/missing payloads fail closed (error-as-value convention)."""
+    from katydid_haskell_ray.functions.codecs import (
+        BMP_MAGIC, JPEG_MAGIC, PNG_MAGIC)
+
+    magics = {"png": PNG_MAGIC, "bmp": BMP_MAGIC, "jpeg": JPEG_MAGIC}
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["image_id", "fmt", "bytes"])
+
+    def f(t: pa.Table) -> pa.Table:
+        fmt = t.column("fmt")
+        if isinstance(fmt, pa.ChunkedArray):
+            fmt = fmt.combine_chunks()
+        b = t.column("bytes")
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        ok = np.zeros(t.num_rows, dtype=bool)
+        for name, magic in magics.items():
+            is_fmt = pc.fill_null(pc.equal(fmt, name), False) \
+                .to_numpy(zero_copy_only=False)
+            pre_ok = pc.fill_null(
+                pc.equal(pc.binary_slice(b, 0, len(magic)),
+                         pa.scalar(magic, type=pa.binary())), False) \
+                .to_numpy(zero_copy_only=False)
+            ok |= is_fmt & pre_ok
+        return pa.table({"image_id": t.column("image_id"),
+                         "magic_ok": pa.array(ok)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def embedding_norms(sf_dir: str):
+    """Per-vector L2-norm quality stats over the embedding column
+    (round 4): quantized norm (exact-integer inner product of
+    floor(1e6·x) components, then floor(sqrt)) plus a 3-sigma outlier
+    flag from exact integer moments — the embedding-table analog of
+    events_outliers, catching degenerate/exploded vectors before ANN
+    indexing.  Every float step is a single expression over identical
+    integers on both engines."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norm_part(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(1e6 * flat).astype(np.int64).reshape(n, -1)
+        norm2 = (q * q).sum(axis=1)
+        nm = np.floor(np.sqrt(norm2.astype(np.float64))).astype(np.int64)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "norm_micro": pa.array(nm)})
+
+    normed = ds.map_batches(norm_part, batch_format="pyarrow").materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t.column("norm_micro").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "s": pa.array([int(v.sum())], type=pa.int64()),
+                         "ss": pa.array([int((v.astype(object) * v).sum())],
+                                        type=pa.int64())})
+
+    m = normed.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n, s, ss = int(m["n"].sum()), int(m["s"].sum()), int(m["ss"].sum())
+    mean = s / n
+    sd = float(np.sqrt((ss - float(s) * s / n) / n))
+    lo, hi = mean - 3 * sd, mean + 3 * sd
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t.column("norm_micro").to_numpy(zero_copy_only=False)
+        return t.append_column("is_outlier",
+                               pa.array((v < lo) | (v > hi)))
+
+    return normed.map_batches(flag, batch_format="pyarrow")
+
+
 def docs_contamination(sf_dir: str, k: int = 5):
     """Benchmark decontamination (round 4): flag every training document
     sharing ANY word k-gram with the benchmark split (here: the

@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_contamination": Q.docs_contamination,
         "images_fmt_magic": Q.images_fmt_magic,
         "embedding_norms": Q.embedding_norms,
+        "docs_split_assign": Q.docs_split_assign,
+        "docs_pack_sequences": Q.docs_pack_sequences,
+        "images_exact_dupes": Q.images_exact_dupes,
+        "images_bytes_entropy": Q.images_bytes_entropy,
+        "customer_rfm": Q.customer_rfm,
     }
 
 
@@ -1208,6 +1213,96 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY floor(value * 100) DESC, event_id)
                        AS BIGINT) AS tile
             FROM events
+        """,
+        "docs_split_assign": """
+            SELECT CASE
+                     WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 5
+                       THEN 'test'
+                     WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 15
+                       THEN 'val'
+                     ELSE 'train' END AS split,
+                   lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "docs_pack_sequences": r"""
+            WITH RECURSIVE ord AS (
+                SELECT lang, doc_id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                           x -> x <> '')) AS BIGINT) AS ntok,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            pack AS (
+                SELECT lang, rn, doc_id, ntok,
+                       CAST(0 AS BIGINT) AS seq_id, ntok AS cum
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.lang, o.rn, o.doc_id, o.ntok,
+                       CASE WHEN p.cum + o.ntok > 512 AND p.cum > 0
+                            THEN p.seq_id + 1 ELSE p.seq_id END,
+                       CASE WHEN p.cum + o.ntok > 512 AND p.cum > 0
+                            THEN o.ntok ELSE p.cum + o.ntok END
+                FROM pack p JOIN ord o
+                  ON o.lang IS NOT DISTINCT FROM p.lang AND o.rn = p.rn + 1)
+            SELECT doc_id, lang, ntok, seq_id FROM pack
+        """,
+        "images_exact_dupes": f"""
+            WITH aug AS (
+                SELECT image_id, bytes FROM {_IMAGES}
+                UNION ALL
+                SELECT image_id, bytes FROM {_IMAGES} WHERE w % 5 = 0),
+            g AS (SELECT bytes, COUNT(*) AS n_copies FROM aug
+                  GROUP BY bytes HAVING COUNT(*) > 1)
+            SELECT a.image_id, CAST(g.n_copies AS BIGINT) AS n_copies
+            FROM aug a JOIN g ON a.bytes = g.bytes
+        """,
+        "images_bytes_entropy": f"""
+            WITH h AS (SELECT image_id, phash, hex(bytes) AS hx
+                       FROM {_IMAGES}),
+            b AS (SELECT image_id, phash,
+                         unnest(list_transform(
+                             generate_series(1, length(hx) // 2),
+                             i -> substr(hx, 2 * i - 1, 2))) AS byte
+                  FROM h WHERE length(hx) > 0),
+            f AS (SELECT image_id, phash, byte, COUNT(*) AS n FROM b
+                  GROUP BY 1, 2, 3),
+            t AS (SELECT image_id, phash, CAST(SUM(n) AS DOUBLE) AS tot
+                  FROM f GROUP BY 1, 2)
+            SELECT f.image_id, f.phash,
+                   CAST(SUM(CAST(floor(1e6 * -((n / tot) * ln(n / tot)))
+                        AS BIGINT)) AS BIGINT) AS entropy_micro
+            FROM f JOIN t ON f.image_id = t.image_id AND f.phash = t.phash
+            GROUP BY f.image_id, f.phash
+        """,
+        "customer_rfm": """
+            WITH a AS (
+                SELECT o_custkey,
+                       CAST(max(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE))) AS BIGINT) AS rec_day,
+                       COUNT(*) AS freq,
+                       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS mon_cents
+                FROM orders GROUP BY 1),
+            q AS (SELECT quantile_disc(rec_day, 0.25) AS r1,
+                         quantile_disc(rec_day, 0.5) AS r2,
+                         quantile_disc(rec_day, 0.75) AS r3,
+                         quantile_disc(freq, 0.25) AS f1,
+                         quantile_disc(freq, 0.5) AS f2,
+                         quantile_disc(freq, 0.75) AS f3 FROM a)
+            SELECT a.o_custkey,
+                   CAST(1 + CASE WHEN rec_day > r1 THEN 1 ELSE 0 END
+                          + CASE WHEN rec_day > r2 THEN 1 ELSE 0 END
+                          + CASE WHEN rec_day > r3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS r_score,
+                   CAST(1 + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+                          + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+                          + CASE WHEN freq > f3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS f_score,
+                   CAST(floor(log10(CAST(mon_cents AS DOUBLE))) AS BIGINT)
+                       AS m_band
+            FROM a, q
         """,
     }
 

@@ -91,7 +91,10 @@ def run_bench() -> dict:
         "weighted_sample_docs", "events_first_last", "revenue_by_region",
         "docs_user_ref_bloom",
         # round 4: keyed as-of join / conversion funnel / char entropy
-        "events_user_asof", "events_funnel", "doc_char_entropy")
+        "events_user_asof", "events_funnel", "doc_char_entropy",
+        # round-4 continuation: split / packing / RFM / image byte ops
+        "docs_split_assign", "docs_pack_sequences", "customer_rfm",
+        "images_exact_dupes", "images_bytes_entropy")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

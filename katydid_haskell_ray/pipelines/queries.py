@@ -2865,3 +2865,221 @@ def events_funnel(sf_dir: str):
     bucketed = (ds.map_batches(prep, batch_format="pyarrow")
                 .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))
     return _auto_exchange(bucketed, per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation: training-pipeline split / packing / image payload ops
+# ---------------------------------------------------------------------------
+
+_KNUTH = np.int64(2654435761)  # Knuth multiplicative-hash constant (2^32*phi)
+
+
+def docs_split_assign(sf_dir: str):
+    """Deterministic hash-based train/val/test split assignment (round 4):
+    the standard "split by hash of the stable id, never by position" rule
+    for training corpora (position-based splits break under re-sharding).
+    ``pct = ((doc_id * 2654435761) mod 2^32) mod 100``; pct<5 -> test,
+    pct<15 -> val, else train.  Exact-integer arithmetic on both engines
+    (no float, no overflow at any realistic id).  Output: per (split,
+    lang) doc count + char volume, via per-batch combiner partials and a
+    tiny driver rollup (3 x |langs| groups, blocks-bounded partials)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        pct = ((ids * _KNUTH) % np.int64(2**32)) % np.int64(100)
+        split = np.where(pct < 5, "test", np.where(pct < 15, "val", "train"))
+        df = pd.DataFrame({"split": split, "lang": b["lang"].to_numpy(),
+                           "n_docs": np.int64(1),
+                           "sum_chars": b["n_chars"].to_numpy(dtype=np.int64)})
+        return df.groupby(["split", "lang"], as_index=False, dropna=False) \
+            .sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["split", "lang"], as_index=False, dropna=False).sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out
+
+
+PACK_BUDGET = 512  # token budget per packed training sequence
+
+
+def docs_pack_sequences(sf_dir: str):
+    """Greedy sequence packing (round 4): assign docs to fixed
+    token-budget training sequences — the classic "pack short documents
+    into one context window" preprocessing step.  Semantics: within each
+    lang, docs in doc_id order are packed greedily (new sequence when the
+    running token count would exceed PACK_BUDGET; an oversized doc gets a
+    sequence of its own).  The scan is inherently sequential per lang but
+    embarrassingly parallel ACROSS langs (the realistic partitioning key:
+    corpora pack within-language), so one lang-bucketed exchange feeds a
+    per-lang vectorized scan — bin boundaries via repeated searchsorted
+    over the token cumsum, O(bins log n), never per-row Python.  Oracle:
+    recursive CTE carrying (seq_id, running count)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "lang": b["lang"].to_numpy(),
+                             "ntok": TX.token_count(b["text"])})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "doc_id"])
+        outs = []
+        for lang, sub in g.groupby("lang", dropna=False):
+            ntok = sub["ntok"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(ntok)
+            seq = np.zeros(len(ntok), dtype=np.int64)
+            start, sid, base = 0, 0, np.int64(0)
+            while start < len(ntok):
+                j = int(np.searchsorted(cum, base + PACK_BUDGET,
+                                        side="right"))
+                if j <= start:  # oversized doc: its own sequence
+                    j = start + 1
+                seq[start:j] = sid
+                base = cum[j - 1]
+                start, sid = j, sid + 1
+            outs.append(pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(),
+                                      "lang": sub["lang"].to_numpy(),
+                                      "ntok": ntok, "seq_id": seq}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"doc_id": [], "lang": [], "ntok": [], "seq_id": []})
+
+    bucketed = (ds.map_batches(prep, batch_format="pandas")
+                .map_batches(K.add_hash_fn("lang"), batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
+
+
+def images_exact_dupes(sf_dir: str):
+    """Exact byte-payload dedupe over the images table (round 4): rows
+    whose ``bytes`` payload appears more than once, with the copy count —
+    byte-identical re-uploads, the first dedup pass of any image corpus.
+    The fixture payloads are all distinct by construction, so both
+    engines dedupe the SAME union-augmented view (every w%5==0 row
+    duplicated — the _AUG_DOCS convention).
+
+    Scale shape (dedupe.exact_dedupe): payloads NEVER shuffle — per-block
+    (content_hash, count) partials through the auto-sized exchange find
+    dup hashes, then a partitioned hash join marks the member rows.
+    Group equality is 64-bit content-hash equality (collision odds
+    ~n²/2⁶⁵ — the exact_dedupe_docs convention)."""
+    from katydid_haskell_ray.stages.dedupe import (add_content_hash,
+                                                   dup_group_sizes)
+    from katydid_haskell_ray.stages.join import hash_join
+
+    path = images_parquet(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["image_id", "bytes", "w"])
+
+    def aug_of(d):
+        def dup_rows(t: pa.Table) -> pa.Table:
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(w % 5 == 0))
+        return d.union(d.map_batches(dup_rows, batch_format="pyarrow"))
+
+    aug = aug_of(ds)
+
+    def rows_with_hash(t: pa.Table) -> pa.Table:
+        return add_content_hash(t, "bytes").select(["image_id",
+                                                    "content_hash"])
+
+    members = aug.map_batches(rows_with_hash, batch_format="pyarrow")
+    dups = dup_group_sizes(aug, col="bytes")
+    return hash_join(members, dups, key="content_hash",
+                     left_cols=["image_id"], right_cols=["n_copies"],
+                     how="inner").select_columns(["image_id", "n_copies"])
+
+
+def images_bytes_entropy(sf_dir: str):
+    """Per-payload byte-histogram entropy (round 4): the codec-free
+    corruption/degeneracy signal — truncated, constant, or padded
+    payloads have anomalously low byte entropy vs healthy encodings.
+    Fully vectorized: one np.frombuffer over the block's concatenated
+    payload buffer + a single bincount over (row_index*256 + byte); no
+    per-row Python.  Entropy terms follow the doc_char_entropy micro
+    convention (per-value floor(1e6*-p*ln p), summed) so every float op
+    is one expression over identical integers on both engines.  Output
+    keyed (image_id, phash) — unique per construction (dup-id rows carry
+    distinct phashes), since the oracle needs a groupable row key."""
+    ds = ray.data.read_parquet(images_parquet(sf_dir),
+                               columns=["image_id", "phash", "bytes"])
+
+    def f(t: pa.Table) -> pa.Table:
+        b = t.column("bytes")
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        b = pc.fill_null(b, b"")
+        lens = pc.binary_length(b).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        payload = b"".join(b.to_pylist())  # one join per block, not per row
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        n = len(lens)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hist = np.bincount(row * 256 + arr.astype(np.int64),
+                           minlength=n * 256).reshape(n, 256)
+        tot = np.maximum(lens, 1).astype(np.float64)[:, None]
+        p = hist / tot
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.floor(1e6 * -(p * np.log(p)))
+        terms[hist == 0] = 0.0
+        ent = terms.astype(np.int64).sum(axis=1)
+        keep = lens > 0
+        return pa.table({
+            "image_id": t.column("image_id").filter(pa.array(keep)),
+            "phash": t.column("phash").filter(pa.array(keep)),
+            "entropy_micro": pa.array(ent[keep], type=pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def customer_rfm(sf_dir: str):
+    """RFM segmentation (round 4): per-customer Recency / Frequency /
+    Monetary scores — R and F as exact quartile buckets (quantile_disc
+    thresholds over the customer aggregate; both metrics are
+    bounded-cardinality ints, the value-histogram exchange's sweet spot),
+    M as a log10 band of lifetime cents (monetary is unbounded-
+    cardinality, so a histogram exchange would be O(N) — the band is
+    O(1) and parity-safe: log10 of the same int is the same IEEE double
+    on both engines).  One orders exchange builds the per-customer
+    aggregate; thresholds broadcast back into a stateless map."""
+    from katydid_haskell_ray.stages import quantiles as QT
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["o_orderdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)  # days since epoch (unit-independent)
+        cents = _cents(b["o_totalprice"].to_numpy())
+        df = pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(),
+                           "rec_day": day, "freq": np.int64(1),
+                           "mon_cents": cents})
+        return df.groupby("o_custkey", as_index=False).agg(
+            rec_day=("rec_day", "max"), freq=("freq", "sum"),
+            mon_cents=("mon_cents", "sum"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False).agg(
+            rec_day=("rec_day", "max"), freq=("freq", "sum"),
+            mon_cents=("mon_cents", "sum"))
+
+    bucketed = (ds.map_batches(partial, batch_format="pandas")
+                .map_batches(K.add_hash_fn("o_custkey"),
+                             batch_format="pyarrow"))
+    agg = _auto_exchange(bucketed, per_bucket).materialize()
+
+    qs = {25: 0.25, 50: 0.5, 75: 0.75}
+    rq = QT.quantiles_from_histogram(
+        QT.value_histogram(agg, "rec_day"), qs, value_name="v")["v"].tolist()
+    fq = QT.quantiles_from_histogram(
+        QT.value_histogram(agg, "freq"), qs, value_name="v")["v"].tolist()
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        rec = b["rec_day"].to_numpy(dtype=np.int64)
+        fr = b["freq"].to_numpy(dtype=np.int64)
+        mon = b["mon_cents"].to_numpy(dtype=np.int64)
+        r = 1 + (rec > rq[0]).astype(np.int64) + (rec > rq[1]) + (rec > rq[2])
+        f = 1 + (fr > fq[0]).astype(np.int64) + (fr > fq[1]) + (fr > fq[2])
+        m = np.floor(np.log10(mon.astype(np.float64))).astype(np.int64)
+        return pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(),
+                             "r_score": r, "f_score": f, "m_band": m})
+
+    return agg.map_batches(score, batch_format="pandas")

@@ -1,0 +1,155 @@
+"""Brute-force references for the round-4 continuation operators:
+split assignment, sequence packing, exact byte dedupe, byte entropy, RFM."""
+
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(sf_dir):
+    return pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_split_assign_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    out = Q.docs_split_assign(sf_dir)
+    d = _docs(sf_dir)
+    pct = ((d["doc_id"].to_numpy() * 2654435761) % 2**32) % 100
+    split = np.where(pct < 5, "test", np.where(pct < 15, "val", "train"))
+    ref = (d.assign(split=split)
+           .groupby(["split", "lang"], as_index=False)
+           .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")))
+    got = out.sort_values(["split", "lang"]).reset_index(drop=True)
+    ref = ref.sort_values(["split", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_docs": np.int64, "sum_chars": np.int64}),
+        ref.astype({"n_docs": np.int64, "sum_chars": np.int64}))
+    # every doc is assigned to exactly one split
+    assert got["n_docs"].sum() == len(d)
+
+
+def _brute_pack(ntoks, budget):
+    seq, sid, cur = [], 0, 0
+    for t in ntoks:
+        if cur + t > budget and cur > 0:
+            sid, cur = sid + 1, 0
+        seq.append(sid)
+        cur += t
+    return seq
+
+
+def test_pack_sequences_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    out = Q.docs_pack_sequences(sf_dir).to_pandas() \
+        .sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    d = _docs(sf_dir)
+    d["ntok"] = d["text"].fillna("").str.split().str.len()
+    refs = []
+    for lang, sub in d.sort_values("doc_id").groupby("lang"):
+        refs.append(pd.DataFrame({
+            "doc_id": sub["doc_id"].to_numpy(), "lang": lang,
+            "ntok": sub["ntok"].to_numpy(dtype=np.int64),
+            "seq_id": np.array(_brute_pack(sub["ntok"].tolist(),
+                                           Q.PACK_BUDGET), dtype=np.int64)}))
+    ref = pd.concat(refs).sort_values(["lang", "doc_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[ref.columns.tolist()], ref)
+    # no sequence (except oversized singletons) exceeds the budget
+    fill = out.groupby(["lang", "seq_id"])["ntok"].agg(["sum", "size"])
+    over = fill[fill["sum"] > Q.PACK_BUDGET]
+    assert (over["size"] == 1).all()
+
+
+def test_pack_sequences_edge_cases(ray_session, tmp_path):
+    """Oversized docs get singleton bins; empty docs join the open bin."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    texts = ["w " * 600,            # oversized (600 tokens > 512)
+             "a b c",               # 3
+             "",                    # 0 tokens
+             "x " * 510,            # 510 -> fits with the 3+0 above? 513>512: new bin
+             "y"]                   # 1
+    d = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                      "text": texts, "lang": "en",
+                      "n_chars": [len(t) for t in texts]})
+    d.to_parquet(tmp_path / "documents.parquet")
+    out = Q.docs_pack_sequences(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["seq_id"].tolist() == _brute_pack([600, 3, 0, 510, 1], 512)
+    assert out["seq_id"].tolist() == [0, 1, 1, 2, 2]
+
+
+def test_images_exact_dupes_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    img = pd.read_parquet(Q.images_parquet(sf_dir),
+                          columns=["image_id", "bytes", "w"])
+    aug = pd.concat([img, img[img["w"] % 5 == 0]])
+    sizes = aug.groupby("bytes")["image_id"].size()
+    dup_bytes = sizes[sizes > 1]
+    ref = aug[aug["bytes"].isin(dup_bytes.index)].copy()
+    ref["n_copies"] = ref["bytes"].map(dup_bytes).astype(np.int64)
+    got = Q.images_exact_dupes(sf_dir).to_pandas()
+    assert len(got) == len(ref)
+    assert sorted(got["image_id"]) == sorted(ref["image_id"])
+    assert (got["n_copies"] >= 2).all()
+    g = got.groupby("image_id")["n_copies"].max().sort_index()
+    r = ref.groupby("image_id")["n_copies"].max().sort_index()
+    pd.testing.assert_series_equal(g, r)
+
+
+def test_images_bytes_entropy_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = Q.images_bytes_entropy(sf_dir).to_pandas() \
+        .set_index(["image_id", "phash"])["entropy_micro"]
+    img = pd.read_parquet(Q.images_parquet(sf_dir),
+                          columns=["image_id", "phash", "bytes"])
+    assert len(got) == len(img)
+    for _, row in img.sample(n=50, random_state=1).iterrows():
+        payload = row["bytes"]
+        tot = len(payload)
+        ent = sum(int(math.floor(1e6 * -((n / tot) * math.log(n / tot))))
+                  for n in Counter(payload).values())
+        assert got.loc[(row["image_id"], row["phash"])] == ent
+
+
+def test_customer_rfm_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders["rec_day"] = orders["o_orderdate"].to_numpy() \
+        .astype("datetime64[D]").astype(np.int64)
+    orders["cents"] = np.floor(orders["o_totalprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    a = orders.groupby("o_custkey").agg(
+        rec_day=("rec_day", "max"), freq=("o_orderkey", "size"),
+        mon_cents=("cents", "sum"))
+
+    def disc_q(v, q):  # duckdb quantile_disc convention
+        s = np.sort(v)
+        return s[max(int(np.ceil(np.float64(q) * len(s))) - 1, 0)]
+
+    def scores(v):
+        t = [disc_q(v, q) for q in (0.25, 0.5, 0.75)]
+        return 1 + (v > t[0]).astype(int) + (v > t[1]) + (v > t[2])
+
+    ref = pd.DataFrame({
+        "o_custkey": a.index.to_numpy(),
+        "r_score": scores(a["rec_day"].to_numpy()),
+        "f_score": scores(a["freq"].to_numpy()),
+        "m_band": np.floor(np.log10(a["mon_cents"].to_numpy()
+                                    .astype(np.float64))).astype(np.int64),
+    }).sort_values("o_custkey").reset_index(drop=True)
+    got = Q.customer_rfm(sf_dir).to_pandas() \
+        .sort_values("o_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"r_score": int, "f_score": int, "m_band": np.int64}),
+        ref.astype({"r_score": int, "f_score": int, "m_band": np.int64}))
+    assert set(got["r_score"]) <= {1, 2, 3, 4}

@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_exact_dupes": Q.images_exact_dupes,
         "images_bytes_entropy": Q.images_bytes_entropy,
         "customer_rfm": Q.customer_rfm,
+        "docs_keyword_search": Q.docs_keyword_search,
+        "docs_unigram_surprisal": Q.docs_unigram_surprisal,
+        "big_orders_customers": Q.big_orders_customers,
     }
 
 
@@ -1303,6 +1306,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(log10(CAST(mon_cents AS DOUBLE))) AS BIGINT)
                        AS m_band
             FROM a, q
+        """,
+        "docs_keyword_search": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(
+                           COALESCE(text, ''), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+            m AS (SELECT doc_id, lang,
+                         CAST(list_contains(toks, 'hash') AS INT)
+                       + CAST(list_contains(toks, 'join') AS INT)
+                       + CAST(list_contains(toks, 'filter') AS INT) AS nm
+                  FROM t)
+            SELECT doc_id, lang, CAST(nm AS BIGINT) AS n_terms_matched,
+                   nm = 3 AS all_matched
+            FROM m WHERE nm > 0
+        """,
+        "docs_unigram_surprisal": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents WHERE text IS NOT NULL),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                   GROUP BY 1, 2),
+            tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+            n AS (SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM tc)
+            SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   CAST(SUM(tf * CAST(floor(1e6 * -ln(tc.c / n.nt))
+                        AS BIGINT)) AS BIGINT) AS surprisal_micro
+            FROM tf JOIN tc USING (term) CROSS JOIN n
+            GROUP BY tf.doc_id
+        """,
+        "big_orders_customers": """
+            WITH big AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+            SELECT o.o_custkey AS c_custkey, c.c_name, b.o_orderkey,
+                   b.total_qty,
+                   CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM big b
+            JOIN orders o ON b.o_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
         """,
     }
 

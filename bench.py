@@ -94,7 +94,8 @@ def run_bench() -> dict:
         "events_user_asof", "events_funnel", "doc_char_entropy",
         # round-4 continuation: split / packing / RFM / image byte ops
         "docs_split_assign", "docs_pack_sequences", "customer_rfm",
-        "images_exact_dupes", "images_bytes_entropy")
+        "images_exact_dupes", "images_bytes_entropy",
+        "docs_unigram_surprisal", "big_orders_customers")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

@@ -3083,3 +3083,159 @@ def customer_rfm(sf_dir: str):
                              "r_score": r, "f_score": f, "m_band": m})
 
     return agg.map_batches(score, batch_format="pandas")
+
+
+_SEARCH_TERMS = ("hash", "join", "filter")  # fixed demo query terms
+
+
+def docs_keyword_search(sf_dir: str):
+    """Conjunctive keyword retrieval (round 4): which docs contain which
+    of a fixed set of query terms as WHOLE whitespace tokens (boolean
+    search, the retrieval primitive behind corpus curation filters).
+    Embarrassingly parallel — the term list broadcasts by closure; one
+    compiled regex per term, each a single vectorized str.contains pass
+    (token membership == ``(^|\\s)term(\\s|$)`` exactly, because tokens
+    are the \\s+ split).  No shuffle, no postings index: for a handful
+    of terms a scan beats building an inverted index at any scale."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    pats = [_re.compile(rf"(?:^|\s){_re.escape(t)}(?:\s|$)")
+            for t in _SEARCH_TERMS]
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b["text"].fillna("")
+        n = np.zeros(len(b), dtype=np.int64)
+        for p in pats:
+            n += txt.str.contains(p, regex=True).to_numpy()
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                            "lang": b["lang"].to_numpy(),
+                            "n_terms_matched": n,
+                            "all_matched": n == len(pats)})
+        return out[n > 0]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def docs_unigram_surprisal(sf_dir: str):
+    """Corpus unigram-LM surprisal per document (round 4): the CCNet-
+    style "score each doc under a language model trained on the corpus
+    itself" quality signal (kenlm-perplexity stand-in; high surprisal =
+    rare-token-heavy docs).  Two passes: (1) vocabulary counts via
+    vectorized token explode -> combiner partials -> bucketed exchange
+    (bounded by vocab, not tokens); (2) per-doc (term, tf) postings join
+    the vocabulary PARTITIONED on term (never a driver/broadcast vocab —
+    web-scale vocabularies don't fit one heap), then a doc-keyed
+    exchange sums integer term costs floor(1e6 * -ln(c/N)).  Zero-token
+    docs are absent, as in the SQL GROUP BY."""
+    from katydid_haskell_ray.stages.exchange import bucketed_group_sum
+    from katydid_haskell_ray.stages.join import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        lists = pc.utf8_split_whitespace(txt)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False),
+                        lens)
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "")
+        df = pd.DataFrame({"doc_id": ids[keep.to_numpy(zero_copy_only=False)],
+                           "term": flat.filter(keep).to_pandas()})
+        # a document is one row = one block, so per-block tf is exact
+        return pa.Table.from_pandas(
+            df.groupby(["doc_id", "term"], as_index=False).size()
+            .rename(columns={"size": "tf"}), preserve_index=False)
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t.column("term"),
+                         "n": t.column("tf").cast(pa.int64())})
+
+    tc = bucketed_group_sum(
+        tf.map_batches(count_partial, batch_format="pyarrow"),
+        ["term"]).materialize()
+    # total corpus tokens: tiny per-block partial sums (blocks-bounded)
+    n_total = int(sum(
+        r["s"] for r in tc.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [pc.sum(t.column("n")).as_py() or 0], type=pa.int64())}),
+            batch_format="pyarrow").to_pandas().to_dict("records")))
+
+    joined = hash_join(tf, tc, key="term",
+                       left_cols=["doc_id", "tf"], right_cols=["n"])
+
+    def cost(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["n"].to_numpy(dtype=np.float64)
+        term_cost = np.floor(1e6 * -np.log(c / float(n_total))) \
+            .astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "tf": b["tf"].to_numpy(dtype=np.int64),
+                             "cost": b["tf"].to_numpy(dtype=np.int64)
+                             * term_cost})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("tf", "sum"), surprisal_micro=("cost", "sum"))
+        return out
+
+    bucketed = (joined.map_batches(cost, batch_format="pandas")
+                .map_batches(K.add_hash_fn("doc_id"),
+                             batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
+
+
+BIG_ORDER_QTY = 150  # Q18-style large-volume threshold
+
+
+def big_orders_customers(sf_dir: str):
+    """TPC-H Q18 shape (round 4): large-volume orders — orders whose
+    total lineitem quantity exceeds a threshold, joined back to their
+    order row and customer.  The groupby-HAVING-subquery + two-join
+    pattern: per-order quantity via combiner partials + keyed exchange,
+    the surviving (small) order set flows through two partitioned hash
+    joins; the fact table never joins unfiltered."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_orderkey": b["l_orderkey"].to_numpy(),
+            "qty": b["l_quantity"].to_numpy().astype(np.int64)})
+        return df.groupby("o_orderkey", as_index=False)["qty"].sum()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_orderkey", as_index=False)["qty"].sum()
+        return s[s["qty"] > BIG_ORDER_QTY] \
+            .rename(columns={"qty": "total_qty"})
+
+    bucketed = (li.map_batches(partial, batch_format="pandas")
+                .map_batches(K.add_hash_fn("o_orderkey"),
+                             batch_format="pyarrow"))
+    big = _auto_exchange(bucketed, per_bucket)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def ocents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "o_custkey": b["o_custkey"].to_numpy(),
+                             "total_cents":
+                                 _cents(b["o_totalprice"].to_numpy())})
+
+    j1 = hash_join(big, orders.map_batches(ocents, batch_format="pandas"),
+                   key="o_orderkey", left_cols=["total_qty"],
+                   right_cols=["o_custkey", "total_cents"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: pd.DataFrame({"o_custkey": b["c_custkey"].to_numpy(),
+                                "c_name": b["c_name"].to_numpy()}),
+        batch_format="pandas")
+    j2 = hash_join(j1, cust, key="o_custkey",
+                   left_cols=["o_orderkey", "total_qty", "total_cents"],
+                   right_cols=["c_name"])
+    return j2.map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")

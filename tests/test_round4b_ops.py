@@ -153,3 +153,69 @@ def test_customer_rfm_bruteforce(ray_session, sf_dir):
         got.astype({"r_score": int, "f_score": int, "m_band": np.int64}),
         ref.astype({"r_score": int, "f_score": int, "m_band": np.int64}))
     assert set(got["r_score"]) <= {1, 2, 3, 4}
+
+
+def test_keyword_search_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = Q.docs_keyword_search(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    d = _docs(sf_dir)
+    rows = []
+    for _, r in d.iterrows():
+        toks = set((r["text"] or "").split())
+        nm = sum(t in toks for t in Q._SEARCH_TERMS)
+        if nm:
+            rows.append({"doc_id": r["doc_id"], "lang": r["lang"],
+                         "n_terms_matched": nm,
+                         "all_matched": nm == len(Q._SEARCH_TERMS)})
+    ref = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_terms_matched": np.int64, "all_matched": bool}),
+        ref.astype({"n_terms_matched": np.int64, "all_matched": bool}))
+
+
+def test_unigram_surprisal_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = Q.docs_unigram_surprisal(sf_dir).to_pandas() \
+        .set_index("doc_id").sort_index()
+    d = _docs(sf_dir)
+    toks = {r["doc_id"]: (r["text"] or "").split()
+            for _, r in d.iterrows()}
+    vocab = Counter()
+    for t in toks.values():
+        vocab.update(t)
+    n_total = sum(vocab.values())
+    for doc_id, t in toks.items():
+        if not t:
+            assert doc_id not in got.index
+            continue
+        s = sum(int(math.floor(1e6 * -math.log(vocab[w] / n_total)))
+                for w in t)
+        assert got.loc[doc_id, "n_tokens"] == len(t)
+        assert got.loc[doc_id, "surprisal_micro"] == s
+
+
+def test_big_orders_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    qty = li.assign(q=li["l_quantity"].astype(np.int64)) \
+        .groupby("l_orderkey", as_index=False)["q"].sum()
+    big = qty[qty["q"] > Q.BIG_ORDER_QTY]
+    ref = (big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    got = Q.big_orders_customers(sf_dir).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    ref = pd.DataFrame({
+        "o_orderkey": ref["o_orderkey"], "total_qty": ref["q"],
+        "total_cents": np.floor(ref["o_totalprice"] * 100).astype(np.int64),
+        "c_name": ref["c_name"], "c_custkey": ref["c_custkey"],
+    }).sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[ref.columns.tolist()].astype({"total_qty": np.int64}), ref)

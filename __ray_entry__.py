@@ -173,6 +173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keyword_search": Q.docs_keyword_search,
         "docs_unigram_surprisal": Q.docs_unigram_surprisal,
         "big_orders_customers": Q.big_orders_customers,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "promo_revenue_share": Q.promo_revenue_share,
+        "docs_quality_deciles": Q.docs_quality_deciles,
+        "events_dow_hour_heatmap": Q.events_dow_hour_heatmap,
     }
 
 
@@ -1351,6 +1355,72 @@ def oracle_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON b.o_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(floor(
+                       l_extendedprice * l_discount * 100) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE date_part('year', l_shipdate) = 1996
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "promo_revenue_share": """
+            WITH j AS (
+                SELECT strftime(date_trunc('month', l_shipdate),
+                                '%Y-%m-%d') AS month,
+                       CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT) AS disc_cents,
+                       (p_type = 'PROMO') AS is_promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT month,
+                   CAST(SUM(CASE WHEN is_promo THEN disc_cents ELSE 0 END)
+                        AS BIGINT) AS promo_cents,
+                   CAST(SUM(disc_cents) AS BIGINT) AS total_cents,
+                   CAST(floor(1e6 *
+                        SUM(CASE WHEN is_promo THEN disc_cents ELSE 0 END)
+                        / SUM(disc_cents)) AS BIGINT) AS promo_share_micro
+            FROM j GROUP BY month
+        """,
+        "docs_quality_deciles": """
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       CAST(floor(1e6 * (length(regexp_replace(
+                            COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+                            / greatest(length(COALESCE(text, '')), 1)))
+                            AS BIGINT) AS score
+                FROM documents),
+            q AS (SELECT quantile_disc(score, 0.1) AS t1,
+                         quantile_disc(score, 0.2) AS t2,
+                         quantile_disc(score, 0.3) AS t3,
+                         quantile_disc(score, 0.4) AS t4,
+                         quantile_disc(score, 0.5) AS t5,
+                         quantile_disc(score, 0.6) AS t6,
+                         quantile_disc(score, 0.7) AS t7,
+                         quantile_disc(score, 0.8) AS t8,
+                         quantile_disc(score, 0.9) AS t9 FROM s)
+            SELECT CAST(1 + CASE WHEN score > t1 THEN 1 ELSE 0 END
+                          + CASE WHEN score > t2 THEN 1 ELSE 0 END
+                          + CASE WHEN score > t3 THEN 1 ELSE 0 END
+                          + CASE WHEN score > t4 THEN 1 ELSE 0 END
+                          + CASE WHEN score > t5 THEN 1 ELSE 0 END
+                          + CASE WHEN score > t6 THEN 1 ELSE 0 END
+                          + CASE WHEN score > t7 THEN 1 ELSE 0 END
+                          + CASE WHEN score > t8 THEN 1 ELSE 0 END
+                          + CASE WHEN score > t9 THEN 1 ELSE 0 END
+                        AS BIGINT) AS decile,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM s, q GROUP BY 1
+        """,
+        "events_dow_hour_heatmap": """
+            SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+                   CAST(date_part('hour', ts) AS BIGINT) AS hour,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events GROUP BY 1, 2
         """,
     }
 

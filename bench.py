@@ -95,7 +95,9 @@ def run_bench() -> dict:
         # round-4 continuation: split / packing / RFM / image byte ops
         "docs_split_assign", "docs_pack_sequences", "customer_rfm",
         "images_exact_dupes", "images_bytes_entropy",
-        "docs_unigram_surprisal", "big_orders_customers")
+        "docs_unigram_surprisal", "big_orders_customers",
+        "promo_revenue_share", "docs_quality_deciles",
+        "events_dow_hour_heatmap")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

@@ -3239,3 +3239,148 @@ def big_orders_customers(sf_dir: str):
     return j2.map_batches(
         lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
         batch_format="pandas")
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (round 4): filtered revenue-delta aggregate —
+    shipdate year, discount band, quantity cap, SUM(extendedprice *
+    discount).  Pure pushdown + combiner: per-block partial sums, one
+    tiny driver add.  Every float step (price*discount -> *100 -> floor)
+    is the same IEEE expression on both engines."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        y = b["l_shipdate"].to_numpy().astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        d = b["l_discount"].to_numpy()
+        keep = ((y == 1996) & (d >= 0.05) & (d <= 0.07)
+                & (b["l_quantity"].to_numpy() < 24))
+        rev = np.floor(b["l_extendedprice"].to_numpy()[keep]
+                       * d[keep] * 100).astype(np.int64)
+        return pd.DataFrame({"revenue_cents": [rev.sum()],
+                             "n_rows": [np.int64(keep.sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "revenue_cents": [np.int64(parts["revenue_cents"].sum())],
+        "n_rows": [np.int64(parts["n_rows"].sum())]})
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape (round 4), as a monthly series: the share of
+    discounted revenue coming from PROMO-type parts per ship month.
+    lineitem projects to 3 columns and joins part (partkey -> is_promo
+    only) through the partitioned hash join; conditional sums group by
+    month via combiner partials.  Share = floor(1e6*promo/total) — one
+    float division of identical integers."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["l_shipdate"].to_numpy().astype("datetime64[M]")
+             .astype("datetime64[D]"))
+        disc = np.floor(b["l_extendedprice"].to_numpy()
+                        * (1 - b["l_discount"].to_numpy())
+                        * 100).astype(np.int64)
+        # month as 'YYYY-MM-01' string for cross-engine hash stability
+        return pd.DataFrame({"p_partkey": b["l_partkey"].to_numpy(),
+                             "month": np.datetime_as_string(m, unit="D"),
+                             "disc_cents": disc})
+
+    def p_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_numpy(),
+            "is_promo": b["p_type"].to_numpy() == "PROMO"})
+
+    j = hash_join(li.map_batches(li_prep, batch_format="pandas"),
+                  part.map_batches(p_prep, batch_format="pandas"),
+                  key="p_partkey", left_cols=["month", "disc_cents"],
+                  right_cols=["is_promo"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        promo = np.where(b["is_promo"].to_numpy(),
+                         b["disc_cents"].to_numpy(), 0)
+        df = pd.DataFrame({"month": b["month"].to_numpy(),
+                           "promo_cents": promo,
+                           "total_cents": b["disc_cents"].to_numpy()})
+        return df.groupby("month", as_index=False).sum()
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("month", as_index=False).sum()
+    out["promo_cents"] = out["promo_cents"].astype(np.int64)
+    out["total_cents"] = out["total_cents"].astype(np.int64)
+    out["promo_share_micro"] = np.floor(
+        1e6 * out["promo_cents"].to_numpy()
+        / out["total_cents"].to_numpy()).astype(np.int64)
+    return out
+
+
+def docs_quality_deciles(sf_dir: str):
+    """Quality-threshold data selection (round 4): bucket docs into
+    exact deciles of a quality score (alpha-char ratio, micro units) and
+    report per-decile volume — the "keep the top X% by quality" curation
+    primitive, with thresholds from the EXACT distributed value
+    histogram (score is bounded to [0, 1e6] so the histogram exchange is
+    O(1e6) regardless of N).  Bucket = 1 + #(thresholds < score), the
+    same closed form the RFM scorer uses (SQL CASE parity without
+    ntile's tie-order dependence)."""
+    from katydid_haskell_ray.stages import quantiles as QT
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def scored(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        n_alpha = t.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+        n_chars = t.str.len().to_numpy(dtype=np.int64)
+        score = _micros(n_alpha / np.maximum(n_chars, 1))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "score": score,
+                             "n_chars": b["n_chars"].to_numpy()})
+
+    sc = ds.map_batches(scored, batch_format="pandas").materialize()
+    qs = {i: i / 10 for i in range(1, 10)}
+    th = QT.quantiles_from_histogram(
+        QT.value_histogram(sc, "score"), qs, value_name="v")["v"].to_numpy()
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["score"].to_numpy()
+        dec = 1 + (s[:, None] > th[None, :]).sum(axis=1).astype(np.int64)
+        df = pd.DataFrame({"decile": dec, "n_docs": np.int64(1),
+                           "sum_chars": b["n_chars"].to_numpy()})
+        return df.groupby("decile", as_index=False).sum()
+
+    parts = sc.map_batches(bucket, batch_format="pandas").to_pandas()
+    out = parts.groupby("decile", as_index=False).sum()
+    return out.astype({"decile": np.int64, "n_docs": np.int64,
+                       "sum_chars": np.int64})
+
+
+def events_dow_hour_heatmap(sf_dir: str):
+    """Calendar heatmap aggregate (round 4): event count + value volume
+    by (day-of-week, hour-of-day) — the classic activity-heatmap rollup.
+    dow follows DuckDB's date_part('dow') convention (Sunday=0; epoch
+    day + 4 mod 7).  168 groups max: per-block combiner partials, tiny
+    driver rollup."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        dow = (day + 4) % 7
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        cents = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"dow": dow, "hour": hour,
+                           "n": np.int64(1), "value_cents": cents})
+        out = df.groupby(["dow", "hour"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["dow", "hour"], as_index=False).sum()
+    return out.astype({"dow": np.int64, "hour": np.int64,
+                       "n": np.int64, "value_cents": np.int64})

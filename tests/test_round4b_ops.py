@@ -219,3 +219,76 @@ def test_big_orders_bruteforce(ray_session, sf_dir):
     }).sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[ref.columns.tolist()].astype({"total_qty": np.int64}), ref)
+
+
+def test_q6_and_promo_share_vs_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{os.path.join(sf_dir, t)}.parquet')")
+    q6 = Q.q6_forecast_revenue(sf_dir)
+    ref = con.sql("""
+        SELECT COALESCE(SUM(CAST(floor(l_extendedprice * l_discount * 100)
+               AS BIGINT)), 0) AS rc, COUNT(*) AS n FROM lineitem
+        WHERE date_part('year', l_shipdate) = 1996
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""").fetchone()
+    assert int(q6["revenue_cents"][0]) == int(ref[0])
+    assert int(q6["n_rows"][0]) == int(ref[1])
+
+    share = Q.promo_revenue_share(sf_dir).sort_values("month") \
+        .reset_index(drop=True)
+    refs = con.sql("""
+        WITH j AS (SELECT strftime(date_trunc('month', l_shipdate),
+                          '%Y-%m-%d') AS month,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS dc, (p_type = 'PROMO') AS pr
+                   FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT month, SUM(CASE WHEN pr THEN dc ELSE 0 END) AS pc,
+               SUM(dc) AS tc FROM j GROUP BY 1 ORDER BY 1""").df()
+    assert share["month"].tolist() == refs["month"].tolist()
+    assert share["promo_cents"].tolist() == refs["pc"].astype(int).tolist()
+    assert share["total_cents"].tolist() == refs["tc"].astype(int).tolist()
+    # share is a ratio in [0, 1e6]
+    assert share["promo_share_micro"].between(0, 10**6).all()
+
+
+def test_quality_deciles_partition_of_corpus(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    out = Q.docs_quality_deciles(sf_dir)
+    d = _docs(sf_dir)
+    assert out["n_docs"].sum() == len(d)
+    assert out["sum_chars"].sum() == d["n_chars"].sum()
+    assert set(out["decile"]) <= set(range(1, 11))
+    # deciles of a non-degenerate score are roughly balanced: no decile
+    # holds more than half the corpus
+    assert out["n_docs"].max() <= len(d) * 0.55
+
+
+def test_dow_hour_heatmap_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    out = Q.events_dow_hour_heatmap(sf_dir) \
+        .sort_values(["dow", "hour"]).reset_index(drop=True)
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    us = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ref = pd.DataFrame({
+        "dow": (us // 86_400_000_000 + 4) % 7,
+        "hour": (us % 86_400_000_000) // 3_600_000_000,
+        "n": 1, "value_cents": np.floor(ev["value"].to_numpy() * 100)
+        .astype(np.int64)}).groupby(["dow", "hour"], as_index=False).sum() \
+        .sort_values(["dow", "hour"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({c: np.int64 for c in out.columns}),
+        ref.astype({c: np.int64 for c in ref.columns}))
+    # dow convention matches pandas dayofweek (Sunday=0 shift)
+    py_dow = (pd.DatetimeIndex(ev["ts"]).dayofweek + 1) % 7
+    got_total = out.groupby("dow")["n"].sum()
+    ref_total = pd.Series(py_dow).value_counts().sort_index()
+    assert got_total.tolist() == ref_total.tolist()

@@ -2959,14 +2959,16 @@ def images_exact_dupes(sf_dir: str):
     engines dedupe the SAME union-augmented view (every w%5==0 row
     duplicated — the _AUG_DOCS convention).
 
-    Scale shape (dedupe.exact_dedupe): payloads NEVER shuffle — per-block
-    (content_hash, count) partials through the auto-sized exchange find
-    dup hashes, then a partitioned hash join marks the member rows.
-    Group equality is 64-bit content-hash equality (collision odds
-    ~n²/2⁶⁵ — the exact_dedupe_docs convention)."""
-    from katydid_haskell_ray.stages.dedupe import (add_content_hash,
-                                                   dup_group_sizes)
-    from katydid_haskell_ray.stages.join import hash_join
+    Scale shape: payloads NEVER shuffle — one scan reduces each row to
+    (image_id, content_hash), and ONE auto-sized hash-keyed exchange
+    both counts groups and emits member rows (a count exchange followed
+    by a member join would re-ship the same (hash, id) rows as the
+    join's left side; measured 2x at sf0.1).  Group equality is 64-bit
+    content-hash equality (collision odds ~n²/2⁶⁵ — the
+    exact_dedupe_docs convention)."""
+    from katydid_haskell_ray.stages.dedupe import add_content_hash
+    from katydid_haskell_ray.stages.exchange import (bucket_map_groups,
+                                                     resolve_exchange)
 
     path = images_parquet(sf_dir)
     ds = ray.data.read_parquet(path, columns=["image_id", "bytes", "w"])
@@ -2977,17 +2979,28 @@ def images_exact_dupes(sf_dir: str):
             return t.filter(pa.array(w % 5 == 0))
         return d.union(d.map_batches(dup_rows, batch_format="pyarrow"))
 
-    aug = aug_of(ds)
-
     def rows_with_hash(t: pa.Table) -> pa.Table:
-        return add_content_hash(t, "bytes").select(["image_id",
-                                                    "content_hash"])
+        out = add_content_hash(t, "bytes").select(["image_id",
+                                                   "content_hash"])
+        return out.append_column(
+            "__bucket",
+            pa.array(out.column("content_hash").to_numpy(
+                zero_copy_only=False).view(np.uint64)))
 
-    members = aug.map_batches(rows_with_hash, batch_format="pyarrow")
-    dups = dup_group_sizes(aug, col="bytes")
-    return hash_join(members, dups, key="content_hash",
-                     left_cols=["image_id"], right_cols=["n_copies"],
-                     how="inner").select_columns(["image_id", "n_copies"])
+    # ONE scan hashes the payloads, ONE hash-keyed exchange both counts
+    # groups and emits their member rows (a count-exchange + member join
+    # would ship the same (hash, id) rows again as the join's left side)
+    members = aug_of(ds).map_batches(rows_with_hash, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("content_hash")["image_id"].transform("size")
+        out = g.loc[n > 1, ["image_id"]].copy()
+        out["n_copies"] = n[n > 1].to_numpy().astype(np.int64)
+        return out
+
+    mat, nb, max_b = resolve_exchange(members)
+    return bucket_map_groups(mat, per_bucket, n_buckets=nb, modular=True,
+                             max_bucket_bytes=max_b)
 
 
 def images_bytes_entropy(sf_dir: str):

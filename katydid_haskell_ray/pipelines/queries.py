@@ -3022,13 +3022,17 @@ def images_bytes_entropy(sf_dir: str):
         if isinstance(b, pa.ChunkedArray):
             b = b.combine_chunks()
         b = pc.fill_null(b, b"")
-        lens = pc.binary_length(b).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        payload = b"".join(b.to_pylist())  # one join per block, not per row
-        arr = np.frombuffer(payload, dtype=np.uint8)
+        # zero-copy concatenated payload view: the binary array's offsets
+        # + data buffers ARE the (lens, bytes) pair — no per-row objects
+        odt = np.int64 if pa.types.is_large_binary(b.type) else np.int32
+        off = np.frombuffer(b.buffers()[1], dtype=odt)[
+            b.offset:b.offset + len(b) + 1].astype(np.int64)
+        data = np.frombuffer(b.buffers()[2] or b"", dtype=np.uint8)
+        arr = data[off[0]:off[-1]]
+        lens = np.diff(off)
         n = len(lens)
         row = np.repeat(np.arange(n, dtype=np.int64), lens)
-        hist = np.bincount(row * 256 + arr.astype(np.int64),
+        hist = np.bincount(row * 256 + arr,
                            minlength=n * 256).reshape(n, 256)
         tot = np.maximum(lens, 1).astype(np.float64)[:, None]
         p = hist / tot

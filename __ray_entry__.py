@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": Q.promo_revenue_share,
         "docs_quality_deciles": Q.docs_quality_deciles,
         "events_dow_hour_heatmap": Q.events_dow_hour_heatmap,
+        "events_debounce": Q.events_debounce,
+        "embedding_quantize_int8": Q.embedding_quantize_int8,
     }
 
 
@@ -1421,6 +1423,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                        AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_debounce": """
+            WITH RECURSIVE ord AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            scan AS (
+                SELECT event_id, user_id, event_type, ts_us, rn,
+                       TRUE AS kept, ts_us AS last_kept
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.event_id, o.user_id, o.event_type, o.ts_us, o.rn,
+                       o.ts_us >= s.last_kept + 100000000000 AS kept,
+                       CASE WHEN o.ts_us >= s.last_kept + 100000000000
+                            THEN o.ts_us ELSE s.last_kept END
+                FROM scan s JOIN ord o
+                  ON o.user_id = s.user_id
+                 AND o.event_type = s.event_type
+                 AND o.rn = s.rn + 1)
+            SELECT event_id, user_id, event_type, kept FROM scan
+        """,
+        "embedding_quantize_int8": """
+            WITH e AS (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE))) AS x,
+                       unnest(generate_series(1, len(embedding))) AS d
+                FROM embeddings),
+            r AS (SELECT d, min(x) AS lo, max(x) AS hi FROM e GROUP BY d),
+            c AS (SELECT e.vec_id, e.x, r.lo, r.hi,
+                         least(floor((e.x - r.lo) / (r.hi - r.lo) * 255),
+                               255) AS code
+                  FROM e JOIN r USING (d)),
+            v AS (SELECT vec_id,
+                         floor(1e6 * abs(x - (lo + (code + 0.5)
+                              * (hi - lo) / 255))) AS err,
+                         code
+                  FROM c)
+            SELECT vec_id, CAST(max(err) AS BIGINT) AS max_err_micro,
+                   CAST(SUM(CAST(code AS BIGINT)) AS BIGINT) AS sum_code
+            FROM v GROUP BY vec_id
         """,
     }
 

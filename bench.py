@@ -97,7 +97,8 @@ def run_bench() -> dict:
         "images_exact_dupes", "images_bytes_entropy",
         "docs_unigram_surprisal", "big_orders_customers",
         "promo_revenue_share", "docs_quality_deciles",
-        "events_dow_hour_heatmap")
+        "events_dow_hour_heatmap", "events_debounce",
+        "embedding_quantize_int8")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

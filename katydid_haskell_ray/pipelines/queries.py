@@ -3401,3 +3401,109 @@ def events_dow_hour_heatmap(sf_dir: str):
     out = parts.groupby(["dow", "hour"], as_index=False).sum()
     return out.astype({"dow": np.int64, "hour": np.int64,
                        "n": np.int64, "value_cents": np.int64})
+
+
+DEBOUNCE_GAP_US = 100_000 * 1_000_000  # 100k-second keep-first window
+
+
+def events_debounce(sf_dir: str):
+    """Stateful debounce / throttle (round 4): per (user, event_type)
+    stream ordered by (ts, event_id), keep an event iff it is the first
+    OR at least GAP after the last KEPT event — the classic "collapse
+    repeated triggers" streaming operator.  The kept-anchor recurrence
+    is sequential per key but VECTORIZED ACROSS keys: keys make their
+    timestamps globally sorted and group-disjoint via a gid*span offset,
+    so each round advances EVERY live key with one np.searchsorted; the
+    round count is the max keeps per key, not the row count.  One
+    user-bucketed exchange (a (user,type) never spans buckets).  Oracle:
+    recursive CTE carrying last-kept."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # normalize to MICROSECONDS before the int cast — an ns-resolution
+        # source would otherwise scale the gap by 1000
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "ts_us": pa.array(us, type=pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"]) \
+            .reset_index(drop=True)
+        n = len(g)
+        gid = g.groupby(["user_id", "event_type"], sort=False).ngroup() \
+            .to_numpy()
+        t = g["ts_us"].to_numpy(dtype=np.int64)
+        span = np.int64(int(t.max()) - int(t.min())
+                        + DEBOUNCE_GAP_US + 1) if n else np.int64(1)
+        t2 = (t - (t.min() if n else 0)) + gid * span  # sorted, disjoint
+        # group extents
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        ends = np.r_[starts[1:], n]
+        kept = np.zeros(n, dtype=bool)
+        anchors = starts.copy()
+        grp_end = ends.copy()
+        alive = anchors < grp_end
+        while alive.any():
+            a = anchors[alive]
+            kept[a] = True
+            nxt = np.searchsorted(t2, t2[a] + DEBOUNCE_GAP_US, side="left")
+            anchors[alive] = nxt
+            alive = anchors < grp_end
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": g["user_id"].to_numpy(),
+                             "event_type": g["event_type"].to_numpy(),
+                             "kept": kept})
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(K.add_hash_fn("user_id"),
+                             batch_format="pyarrow"))
+    return _auto_exchange(bucketed, per_bucket)
+
+
+def embedding_quantize_int8(sf_dir: str):
+    """Scalar int8 quantization QA (round 4): quantize each embedding
+    dimension to 256 levels against per-dimension corpus min/max and
+    report each vector's max reconstruction error — the calibration
+    check run before shipping a quantized ANN index.  Pass 1: per-block
+    (dim, min, max) partials (dim count is fixed, so the driver combine
+    is O(dims)); pass 2 broadcasts the ranges and computes codes +
+    errors in one matrix expression.  Every float step is the same
+    scalar expression DuckDB evaluates, over float32 inputs promoted to
+    float64 on both engines."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(emb), -1)
+        d = m.shape[1]
+        return pa.table({"d": pa.array(np.arange(d, dtype=np.int64)),
+                         "lo": pa.array(m.min(axis=0)),
+                         "hi": pa.array(m.max(axis=0))})
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    rng = parts.groupby("d").agg(lo=("lo", "min"), hi=("hi", "max"))
+    lo = rng["lo"].to_numpy()
+    hi = rng["hi"].to_numpy()
+    width = hi - lo
+
+    def quant(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(emb), -1)
+        code = np.minimum(np.floor((x - lo) / width * 255), 255.0)
+        recon = lo + (code + 0.5) * width / 255
+        err = np.floor(1e6 * np.abs(x - recon)).astype(np.int64)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "max_err_micro": pa.array(err.max(axis=1), type=pa.int64()),
+            "sum_code": pa.array(code.sum(axis=1).astype(np.int64),
+                                 type=pa.int64())})
+
+    return ds.map_batches(quant, batch_format="pyarrow")

@@ -292,3 +292,75 @@ def test_dow_hour_heatmap_bruteforce(ray_session, sf_dir):
     got_total = out.groupby("dow")["n"].sum()
     ref_total = pd.Series(py_dow).value_counts().sort_index()
     assert got_total.tolist() == ref_total.tolist()
+
+
+def _brute_debounce(df, gap_us):
+    kept = {}
+    out = []
+    for _, r in df.sort_values(["user_id", "event_type", "ts_us",
+                                "event_id"]).iterrows():
+        k = (r["user_id"], r["event_type"])
+        if k not in kept or r["ts_us"] >= kept[k] + gap_us:
+            kept[k] = r["ts_us"]
+            out.append((r["event_id"], True))
+        else:
+            out.append((r["event_id"], False))
+    return dict(out)
+
+
+def test_events_debounce_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    ev["ts_us"] = ev["ts"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    ref = _brute_debounce(ev, Q.DEBOUNCE_GAP_US)
+    got = Q.events_debounce(sf_dir).to_pandas()
+    assert len(got) == len(ev)
+    mism = [e for e, k in zip(got["event_id"], got["kept"])
+            if ref[e] != bool(k)]
+    assert not mism, mism[:5]
+    assert got["kept"].sum() < len(ev)  # the gap actually drops events
+
+
+def test_events_debounce_tie_and_boundary(ray_session, tmp_path):
+    """Identical timestamps keep only the lowest event_id; an event at
+    EXACTLY last_kept + gap is kept (>= semantics)."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    g = Q.DEBOUNCE_GAP_US
+    base = 1_600_000_000_000_000
+    ev = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": pd.to_datetime(
+            np.array([base, base, base + g - 1, base + g,
+                      base + g, base + 3 * g], dtype="int64"), unit="us"),
+        "user_id": np.int64(7), "event_type": "view",
+        "value": 0.0, "props": "{}"})
+    ev.to_parquet(tmp_path / "events.parquet")
+    got = Q.events_debounce(str(tmp_path)).to_pandas() \
+        .sort_values("event_id")
+    #            id0 anchor, id1 tie-dropped, id2 gap-1 dropped,
+    #            id3 == anchor+g kept, id4 tie-dropped, id5 kept
+    assert got["kept"].tolist() == [True, False, False, True, False, True]
+
+
+def test_embedding_quantize_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    w = hi - lo
+    code = np.minimum(np.floor((x - lo) / w * 255), 255.0)
+    recon = lo + (code + 0.5) * w / 255
+    err = np.floor(1e6 * np.abs(x - recon)).astype(np.int64)
+    got = Q.embedding_quantize_int8(sf_dir).to_pandas() \
+        .set_index("vec_id").loc[emb["vec_id"]]
+    assert (got["max_err_micro"].to_numpy() == err.max(axis=1)).all()
+    assert (got["sum_code"].to_numpy()
+            == code.sum(axis=1).astype(np.int64)).all()
+    # max error is bounded by half a quantization step (+ floor slack)
+    step_micro = np.floor(1e6 * w / 255 / 2).max() + 1
+    assert got["max_err_micro"].max() <= step_micro

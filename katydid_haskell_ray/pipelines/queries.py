@@ -1614,12 +1614,14 @@ def events_asof_order(sf_dir: str):
     from katydid_haskell_ray.stages.join import asof_lookup
 
     odates = pd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"])
-    timeline = np.unique(odates["o_orderdate"].astype("int64").to_numpy()
+    timeline = np.unique(odates["o_orderdate"].to_numpy()
+                         .astype("datetime64[us]").astype(np.int64)
                          // 1_000_000)
     ds = _read(sf_dir, "events", ["event_id", "ts"])
 
     def to_epoch(b: pa.Table) -> pa.Table:
-        s = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        s = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 1_000_000
         return pa.table({"event_id": b["event_id"],
                          "ts_s": pa.array(s, type=pa.int64())})
 
@@ -2543,15 +2545,15 @@ def events_user_asof(sf_dir: str):
     from katydid_haskell_ray.stages.join import asof_join_keyed
 
     def prep_e(b: pa.Table) -> pa.Table:
-        s = b.column("ts").cast(pa.int64()) \
+        s = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False) // 1_000_000
         return pa.table({"event_id": b["event_id"],
                          "user_id": b["user_id"],
                          "ts_s": pa.array(s, type=pa.int64())})
 
     def prep_o(b: pa.Table) -> pa.Table:
-        s = b.column("o_orderdate").cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False) // 1_000_000
+        s = b.column("o_orderdate").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
         return pa.table({"user_id": b["o_custkey"],
                          "ts_s": pa.array(s, type=pa.int64())})
 
@@ -2840,7 +2842,8 @@ def events_funnel(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def prep(b: pa.Table) -> pa.Table:
-        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
         return pa.table({"user_id": b["user_id"],
                          "ts_us": pa.array(us, type=pa.int64()),
                          "event_type": b["event_type"]})
@@ -3385,7 +3388,8 @@ def events_dow_hour_heatmap(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
         day = us // 86_400_000_000
         dow = (day + 4) % 7
         hour = (us % 86_400_000_000) // 3_600_000_000

@@ -249,6 +249,8 @@ def asof_lookup(ds, *, ts_col: str, timeline: np.ndarray,
         ts = b.column(ts_col)
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):  # normalize units before int cast
+            ts = ts.cast(pa.timestamp("us"))
         tv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(t, tv, side="right") - 1
         ok = idx >= 0

@@ -24,7 +24,10 @@ def add_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
     ts = batch.column(ts_col)
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
-    us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # normalize to MICROSECONDS first: an ns-resolution source would
+    # otherwise scale every window width by 1000
+    us = ts.cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
     start = (us // (width_s * 1_000_000)) * (width_s * 1_000_000)
     return batch.append_column(out, pa.array(start).cast(pa.timestamp("us")))
 
@@ -80,7 +83,8 @@ def hopping_aggregate(ds, *, width_s: int = 3600, hop_s: int = 1800,
     hop_us = hop_s * 1_000_000
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        us = b[ts_col].astype("int64").to_numpy()
+        us = b[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)  # unit-normalized
         smax = us // hop_us * hop_s  # largest window start, epoch-seconds
         n = len(b)
         d = pd.DataFrame({"window_start_s": np.repeat(smax, k)
@@ -162,7 +166,8 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts_col], kind="mergesort")
-        ts = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        ts = g[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // 1_000_000
         k = g[key].to_numpy()
         new_sess = np.ones(len(g), dtype=np.int64)
         if len(g) > 1:

@@ -2919,7 +2919,14 @@ def docs_pack_sequences(sf_dir: str):
     corpora pack within-language), so one lang-bucketed exchange feeds a
     per-lang vectorized scan — bin boundaries via repeated searchsorted
     over the token cumsum, O(bins log n), never per-row Python.  Oracle:
-    recursive CTE carrying (seq_id, running count)."""
+    recursive CTE carrying (seq_id, running count).
+
+    Partitioning contract: lang is the scan key, so ONE lang's (doc_id,
+    ntok) stream must fit one reduce task — the exchange's byte-bound
+    assert trips explicitly if it doesn't.  At corpus scale where a
+    single language exceeds a task, the deployment-honest semantics is
+    packing within (lang, shard): add the shard column to the key; the
+    greedy scan is unchanged."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:

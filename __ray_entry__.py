@@ -1347,10 +1347,10 @@ def oracle_sql() -> dict[str, str]:
         "big_orders_customers": """
             WITH big AS (
                 SELECT l_orderkey AS o_orderkey,
-                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
-                           AS total_qty
+                       CAST(SUM(CAST(floor(l_quantity) AS BIGINT))
+                            AS BIGINT) AS total_qty
                 FROM lineitem GROUP BY 1
-                HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+                HAVING SUM(CAST(floor(l_quantity) AS BIGINT)) > 150)
             SELECT o.o_custkey AS c_custkey, c.c_name, b.o_orderkey,
                    b.total_qty,
                    CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents
@@ -1455,12 +1455,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings),
             r AS (SELECT d, min(x) AS lo, max(x) AS hi FROM e GROUP BY d),
             c AS (SELECT e.vec_id, e.x, r.lo, r.hi,
-                         least(floor((e.x - r.lo) / (r.hi - r.lo) * 255),
-                               255) AS code
+                         CASE WHEN r.hi = r.lo THEN 0
+                              ELSE least(floor((e.x - r.lo)
+                                   / (r.hi - r.lo) * 255), 255)
+                         END AS code
                   FROM e JOIN r USING (d)),
             v AS (SELECT vec_id,
-                         floor(1e6 * abs(x - (lo + (code + 0.5)
-                              * (hi - lo) / 255))) AS err,
+                         CASE WHEN hi = lo THEN 0
+                              ELSE floor(1e6 * abs(x - (lo + (code + 0.5)
+                                   * (hi - lo) / 255)))
+                         END AS err,
                          code
                   FROM c)
             SELECT vec_id, CAST(max(err) AS BIGINT) AS max_err_micro,

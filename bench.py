@@ -98,7 +98,8 @@ def run_bench() -> dict:
         "docs_unigram_surprisal", "big_orders_customers",
         "promo_revenue_share", "docs_quality_deciles",
         "events_dow_hour_heatmap", "events_debounce",
-        "embedding_quantize_int8")
+        "embedding_quantize_int8", "docs_keyword_search",
+        "q6_forecast_revenue")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

@@ -2939,22 +2939,30 @@ def docs_pack_sequences(sf_dir: str):
         outs = []
         for lang, sub in g.groupby("lang", dropna=False):
             ntok = sub["ntok"].to_numpy(dtype=np.int64)
+            n = len(ntok)
             cum = np.cumsum(ntok)
-            seq = np.zeros(len(ntok), dtype=np.int64)
+            seq = np.zeros(n, dtype=np.int64)
             start, sid, base = 0, 0, np.int64(0)
-            while start < len(ntok):
+            while start < n:
                 j = int(np.searchsorted(cum, base + PACK_BUDGET,
                                         side="right"))
-                if j <= start:  # oversized doc: its own sequence
+                if j <= start:
+                    # oversized doc opening a fresh (0-token) bin: joins it
                     j = start + 1
+                elif cum[j - 1] == base and j < n:
+                    # the bin holds only zero-token docs so far (cur == 0):
+                    # the next (necessarily oversized) doc still joins it —
+                    # "new bin" requires BOTH cur + t > budget AND cur > 0
+                    j += 1
                 seq[start:j] = sid
                 base = cum[j - 1]
                 start, sid = j, sid + 1
             outs.append(pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(),
                                       "lang": sub["lang"].to_numpy(),
                                       "ntok": ntok, "seq_id": seq}))
-        return pd.concat(outs, ignore_index=True) if outs else \
-            pd.DataFrame({"doc_id": [], "lang": [], "ntok": [], "seq_id": []})
+        # the exchange never calls the reduce on an empty bucket, so g has
+        # at least one row and outs is non-empty
+        return pd.concat(outs, ignore_index=True)
 
     bucketed = (ds.map_batches(prep, batch_format="pandas")
                 .map_batches(K.add_hash_fn("lang"), batch_format="pyarrow"))
@@ -3231,7 +3239,9 @@ def big_orders_customers(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame({
             "o_orderkey": b["l_orderkey"].to_numpy(),
-            "qty": b["l_quantity"].to_numpy().astype(np.int64)})
+            # floor (not truncate/round): pins parity with the oracle's
+            # CAST(floor(l_quantity) AS BIGINT) on non-integral doubles
+            "qty": np.floor(b["l_quantity"].to_numpy()).astype(np.int64)})
         return df.groupby("o_orderkey", as_index=False)["qty"].sum()
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -3415,6 +3425,7 @@ def events_dow_hour_heatmap(sf_dir: str):
 
 
 DEBOUNCE_GAP_US = 100_000 * 1_000_000  # 100k-second keep-first window
+_DEBOUNCE_OFFSET_CAP = 2**62  # max chunk_size * span (int64-overflow guard)
 
 
 def events_debounce(sf_dir: str):
@@ -3439,29 +3450,43 @@ def events_debounce(sf_dir: str):
                          "event_type": b["event_type"],
                          "ts_us": pa.array(us, type=pa.int64())})
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"]) \
-            .reset_index(drop=True)
-        n = len(g)
-        gid = g.groupby(["user_id", "event_type"], sort=False).ngroup() \
-            .to_numpy()
-        t = g["ts_us"].to_numpy(dtype=np.int64)
-        span = np.int64(int(t.max()) - int(t.min())
-                        + DEBOUNCE_GAP_US + 1) if n else np.int64(1)
-        t2 = (t - (t.min() if n else 0)) + gid * span  # sorted, disjoint
-        # group extents
-        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
-        ends = np.r_[starts[1:], n]
-        kept = np.zeros(n, dtype=bool)
+    def _scan_chunk(t2, starts, ends, kept):
+        """Anchor scan over one group-chunk's disjoint sorted offsets."""
         anchors = starts.copy()
-        grp_end = ends.copy()
-        alive = anchors < grp_end
+        alive = anchors < ends
         while alive.any():
             a = anchors[alive]
             kept[a] = True
             nxt = np.searchsorted(t2, t2[a] + DEBOUNCE_GAP_US, side="left")
             anchors[alive] = nxt
-            alive = anchors < grp_end
+            alive = anchors < ends
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"]) \
+            .reset_index(drop=True)
+        n = len(g)
+        # dropna=False: null keys form their own group (SQL PARTITION BY
+        # semantics), and gid stays a valid non-negative offset index
+        gid = g.groupby(["user_id", "event_type"], sort=False,
+                        dropna=False).ngroup().to_numpy()
+        t = g["ts_us"].to_numpy(dtype=np.int64)
+        span = np.int64(int(t.max()) - int(t.min())
+                        + DEBOUNCE_GAP_US + 1) if n else np.int64(1)
+        t_rel = t - (t.min() if n else 0)
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        ends = np.r_[starts[1:], n]
+        kept = np.zeros(n, dtype=bool)
+        # chunk the groups so chunk_size * span never overflows int64
+        # (gid * span over millions of groups x a decade-wide span would
+        # wrap and silently unsort t2)
+        chunk = max(1, int(_DEBOUNCE_OFFSET_CAP // int(span)))
+        for c0 in range(0, len(starts), chunk):
+            c1 = min(c0 + chunk, len(starts))
+            lo, hi = starts[c0], ends[c1 - 1]
+            t2 = t_rel[lo:hi] + (gid[lo:hi] - gid[lo]) * span
+            view = np.zeros(hi - lo, dtype=bool)
+            _scan_chunk(t2, starts[c0:c1] - lo, ends[c0:c1] - lo, view)
+            kept[lo:hi] = view
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
                              "user_id": g["user_id"].to_numpy(),
                              "event_type": g["event_type"].to_numpy(),
@@ -3508,8 +3533,12 @@ def embedding_quantize_int8(sf_dir: str):
             emb = emb.combine_chunks()
         x = emb.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.float64).reshape(len(emb), -1)
-        code = np.minimum(np.floor((x - lo) / width * 255), 255.0)
-        recon = lo + (code + 0.5) * width / 255
+        # constant dimensions (width 0) quantize to code 0 / zero error —
+        # 0/0 would NaN-poison the whole vector's max otherwise
+        w = np.where(width > 0, width, 1.0)
+        code = np.where(width > 0,
+                        np.minimum(np.floor((x - lo) / w * 255), 255.0), 0.0)
+        recon = np.where(width > 0, lo + (code + 0.5) * w / 255, lo)
         err = np.floor(1e6 * np.abs(x - recon)).astype(np.int64)
         return pa.table({
             "vec_id": t.column("vec_id"),

@@ -364,3 +364,93 @@ def test_embedding_quantize_bruteforce(ray_session, sf_dir):
     # max error is bounded by half a quantization step (+ floor slack)
     step_micro = np.floor(1e6 * w / 255 / 2).max() + 1
     assert got["max_err_micro"].max() <= step_micro
+
+
+def test_pack_sequences_zero_token_before_oversized(ray_session, tmp_path):
+    """A bin holding only zero-token docs (cur == 0) still admits an
+    oversized doc — 'new bin' needs BOTH cur + t > budget AND cur > 0
+    (the review-confirmed divergence case)."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    ntoks = [0, 600, 664, 0, 612, 0, 0, 700, 5]
+    texts = ["w " * t if t else "" for t in ntoks]
+    d = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                      "text": texts, "lang": "en",
+                      "n_chars": [len(t) for t in texts]})
+    d.to_parquet(tmp_path / "documents.parquet")
+    out = Q.docs_pack_sequences(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id")
+    assert out["seq_id"].tolist() == _brute_pack(ntoks, Q.PACK_BUDGET)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pack_sequences_random_stress(ray_session, tmp_path, seed):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(seed)
+    ntoks = rng.choice([0, 1, 5, 100, 300, 511, 512, 513, 900],
+                       size=120).tolist()
+    texts = ["w " * t if t else "" for t in ntoks]
+    d = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                      "text": texts,
+                      "lang": rng.choice(["en", "fr"], size=len(texts)),
+                      "n_chars": [len(t) for t in texts]})
+    sub = tmp_path / f"s{seed}"
+    sub.mkdir()
+    d.to_parquet(sub / "documents.parquet")
+    out = Q.docs_pack_sequences(str(sub)).to_pandas() \
+        .sort_values(["lang", "doc_id"])
+    for lang, g in d.sort_values("doc_id").groupby("lang"):
+        ref = _brute_pack(
+            [ntoks[i] for i in g.index], Q.PACK_BUDGET)
+        got = out[out["lang"] == lang]["seq_id"].tolist()
+        assert got == ref, (lang, got[:10], ref[:10])
+
+
+def test_events_debounce_chunked_and_null_keys(ray_session, tmp_path,
+                                               monkeypatch):
+    """Group chunking (forced tiny chunks via a huge artificial span
+    guard) and null event_type keys both match the brute scan."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    g = Q.DEBOUNCE_GAP_US
+    rng = np.random.default_rng(3)
+    n = 400
+    base = 1_600_000_000_000_000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 4 * g, size=n), unit="us"),
+        "user_id": rng.integers(0, 25, size=n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", None], size=n),
+        "value": 0.0, "props": "{}"})
+    ev.to_parquet(tmp_path / "events.parquet")
+    # force multi-chunk scans: cap chunk_size*span so ~3 groups per chunk
+    span = int(4 * g + g + 1)
+    monkeypatch.setattr(Q, "_DEBOUNCE_OFFSET_CAP", span * 3)
+    got = Q.events_debounce(str(tmp_path)).to_pandas()
+    ev["ts_us"] = ev["ts"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    ref = _brute_debounce(ev.fillna({"event_type": "\0null"}),
+                          Q.DEBOUNCE_GAP_US)
+    assert len(got) == n
+    mism = [e for e, k in zip(got["event_id"], got["kept"])
+            if ref[e] != bool(k)]
+    assert not mism, mism[:5]
+
+
+def test_embedding_quantize_constant_dim(ray_session, tmp_path):
+    """A constant (zero-width) dimension yields code 0 / zero error, not
+    NaN-poisoned int64 garbage."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs[:, 3] = 1.25  # constant dim
+    emb = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                        "embedding": list(vecs),
+                        "label": np.int32(0)})
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+    got = Q.embedding_quantize_int8(str(tmp_path)).to_pandas()
+    assert (got["max_err_micro"] >= 0).all()
+    assert got["max_err_micro"].max() < 10**6  # sane micro error

@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour_heatmap": Q.events_dow_hour_heatmap,
         "events_debounce": Q.events_debounce,
         "embedding_quantize_int8": Q.embedding_quantize_int8,
+        "late_orders_by_priority": Q.late_orders_by_priority,
+        "embedding_top_component": Q.embedding_top_component,  # rows-only (iterative)
     }
 
 
@@ -1470,6 +1472,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(max(err) AS BIGINT) AS max_err_micro,
                    CAST(SUM(CAST(code AS BIGINT)) AS BIGINT) AS sum_code
             FROM v GROUP BY vec_id
+        """,
+        "late_orders_by_priority": """
+            WITH late AS (
+                SELECT DISTINCT l.l_orderkey
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) > 90)
+            SELECT o.o_orderpriority, COUNT(*) AS n
+            FROM orders o JOIN late ON o.o_orderkey = late.l_orderkey
+            GROUP BY 1
         """,
     }
 

@@ -99,7 +99,8 @@ def run_bench() -> dict:
         "promo_revenue_share", "docs_quality_deciles",
         "events_dow_hour_heatmap", "events_debounce",
         "embedding_quantize_int8", "docs_keyword_search",
-        "q6_forecast_revenue")
+        "q6_forecast_revenue", "late_orders_by_priority",
+        "embedding_top_component")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

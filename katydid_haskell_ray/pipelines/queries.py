@@ -3547,3 +3547,117 @@ def embedding_quantize_int8(sf_dir: str):
                                  type=pa.int64())})
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def late_orders_by_priority(sf_dir: str):
+    """TPC-H Q4 shape (round 4): count orders per priority having AT
+    LEAST ONE lineitem shipped more than 90 days after the order date —
+    the correlated-EXISTS-with-cross-table-comparison pattern.  The late
+    flag needs columns from BOTH sides, so the orderkey-partitioned hash
+    join carries (ship_day, order_day); the EXISTS collapses per block
+    to distinct (orderkey, priority) pairs, one orderkey-keyed distinct
+    exchange dedups across blocks, and the priority rollup is tiny."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        return pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
+                             "ship_day": d})
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "order_day": d,
+                             "o_orderpriority":
+                                 b["o_orderpriority"].to_numpy()})
+
+    j = hash_join(li.map_batches(li_prep, batch_format="pandas"),
+                  orders.map_batches(o_prep, batch_format="pandas"),
+                  key="o_orderkey", left_cols=["ship_day"],
+                  right_cols=["order_day", "o_orderpriority"])
+
+    def late_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        late = b["ship_day"].to_numpy() > b["order_day"].to_numpy() + 90
+        return b.loc[late, ["o_orderkey", "o_orderpriority"]] \
+            .drop_duplicates()
+
+    bucketed = (j.map_batches(late_pairs, batch_format="pandas")
+                .map_batches(K.add_hash_fn("o_orderkey"),
+                             batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop_duplicates(["o_orderkey"])
+                .groupby("o_orderpriority", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = _auto_exchange(bucketed, per_bucket).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)["n"].sum()
+    return out.astype({"n": np.int64})
+
+
+def embedding_top_component(sf_dir: str):
+    """Distributed dominant principal component (round 4): per-vector
+    projection onto the corpus's top eigenvector — the embedding
+    drift/whitening primitive.  Pass 1 reduces per-block (X^T X, column
+    sum, count) partials — O(d²) floats per block, associative, pickled
+    one row per block exactly like the Bloom/HLL partial streams — and
+    the driver runs the deterministic power iteration on the TINY d x d
+    covariance.  Pass 2 projects each vector.  Sign convention: the
+    eigenvector's largest-|component| entry is positive.  Iterative —
+    rows-only (no SQL oracle); verified against numpy.linalg.eigh."""
+    import pickle
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(emb), -1)
+        blob = pickle.dumps((x.T @ x, x.sum(axis=0), len(x)), protocol=5)
+        return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+    xtx = mu_sum = n = None
+    for row in ds.map_batches(gram_partial,
+                              batch_format="pyarrow").take_all():
+        g, s, c = pickle.loads(row["blob"])
+        xtx = g if xtx is None else xtx + g
+        mu_sum = s if mu_sum is None else mu_sum + s
+        n = c if n is None else n + c
+
+    mu = mu_sum / n
+    cov = xtx / n - np.outer(mu, mu)
+    # exact symmetric eigensolve on the TINY d x d driver matrix (power
+    # iteration stalls when the top eigengap is small, as it is for
+    # near-isotropic embedding clouds)
+    _, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    v_ref = ray.put((mu, v))
+
+    class Project:
+        def __init__(self, ref):
+            self.mu, self.v = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = t.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            x = emb.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64).reshape(len(emb), -1)
+            proj = (x - self.mu) @ self.v
+            return pa.table({
+                "vec_id": t.column("vec_id"),
+                "proj_micro": pa.array(
+                    np.floor(1e6 * proj).astype(np.int64))})
+
+    return ds.map_batches(Project, fn_constructor_args=(v_ref,),
+                          concurrency=_AC(), batch_format="pyarrow")

@@ -454,3 +454,44 @@ def test_embedding_quantize_constant_dim(ray_session, tmp_path):
     got = Q.embedding_quantize_int8(str(tmp_path)).to_pandas()
     assert (got["max_err_micro"] >= 0).all()
     assert got["max_err_micro"].max() < 10**6  # sane micro error
+
+
+def test_late_orders_bruteforce(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    late = m[(m["l_shipdate"].to_numpy().astype("datetime64[D]")
+              .astype(np.int64))
+             > (m["o_orderdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64)) + 90]
+    ref = (late.drop_duplicates("o_orderkey")
+           .groupby("o_orderpriority", as_index=False)
+           .size().rename(columns={"size": "n"})
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    got = Q.late_orders_by_priority(sf_dir) \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"n": np.int64}),
+                                  ref.astype({"n": np.int64}))
+
+
+def test_embedding_top_component_vs_eigh(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / len(x)
+    vals, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    ref = np.floor(1e6 * (x - mu) @ v).astype(np.int64)
+    got = Q.embedding_top_component(sf_dir).to_pandas() \
+        .set_index("vec_id").loc[emb["vec_id"], "proj_micro"].to_numpy()
+    # power iteration converges to the eigh eigenvector; micro-floors may
+    # differ by 1 ulp at most on a handful of entries
+    assert np.abs(got - ref).max() <= 1
+    assert (np.abs(got - ref) > 0).mean() < 0.05

@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
         "images_features": Q.images_features,            # rows-only (codec)
         # --- round-4 additions (selfcheck-covered; gate window unchanged) ---
+        # NOTE for the round-5 reorder: everything from here DOWN has never
+        # been in an official gate snapshot — promote these 21 queries into
+        # the first-50 window next round (all are selfcheck-green today).
         "events_user_asof": Q.events_user_asof,
         "events_funnel": Q.events_funnel,
         "doc_char_entropy": Q.doc_char_entropy,

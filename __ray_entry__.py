@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_int8": Q.embedding_quantize_int8,
         "late_orders_by_priority": Q.late_orders_by_priority,
         "embedding_top_component": Q.embedding_top_component,  # rows-only (iterative)
+        "lang_len_regression": Q.lang_len_regression,
+        "docs_lang_source_chi2": Q.docs_lang_source_chi2,
     }
 
 
@@ -1485,6 +1487,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderpriority, COUNT(*) AS n
             FROM orders o JOIN late ON o.o_orderkey = late.l_orderkey
             GROUP BY 1
+        """,
+        "lang_len_regression": r"""
+            WITH m AS (
+                SELECT lang, COUNT(*) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx
+                FROM (SELECT lang,
+                             CAST(len(list_filter(regexp_split_to_array(
+                                 COALESCE(text, ''), '\s+'),
+                                 e -> e <> '')) AS BIGINT) AS x,
+                             n_chars AS y
+                      FROM documents)
+                GROUP BY lang)
+            SELECT lang, CAST(n AS BIGINT) AS n_docs,
+                   CAST(floor(1e6 * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) AS BIGINT)
+                       AS slope_micro,
+                   CAST(floor(1e6 * (sy - ((CAST(n AS DOUBLE) * sxy
+                        - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                        * sx) / CAST(n AS DOUBLE)) AS BIGINT)
+                       AS intercept_micro
+            FROM m
+        """,
+        "docs_lang_source_chi2": """
+            WITH obs AS (SELECT lang, source, COUNT(*) AS n
+                         FROM documents GROUP BY 1, 2),
+            r AS (SELECT lang, CAST(SUM(n) AS DOUBLE) AS rn FROM obs
+                  GROUP BY 1),
+            c AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS cn FROM obs
+                  GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tn FROM obs),
+            e AS (SELECT CAST(obs.n AS DOUBLE) AS o, r.rn * c.cn / t.tn AS ex
+                  FROM obs JOIN r USING (lang) JOIN c USING (source)
+                  CROSS JOIN t)
+            SELECT CAST(SUM(CAST(floor(1e6 * (o - ex) * (o - ex) / ex)
+                        AS BIGINT)) AS BIGINT) AS chi2_micro,
+                   CAST(((SELECT COUNT(*) FROM r) - 1)
+                        * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
+                   (SELECT COUNT(*) FROM obs) AS n_cells
+            FROM e
         """,
     }
 

@@ -100,7 +100,8 @@ def run_bench() -> dict:
         "events_dow_hour_heatmap", "events_debounce",
         "embedding_quantize_int8", "docs_keyword_search",
         "q6_forecast_revenue", "late_orders_by_priority",
-        "embedding_top_component")
+        "embedding_top_component", "lang_len_regression",
+        "docs_lang_source_chi2")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

@@ -3661,3 +3661,68 @@ def embedding_top_component(sf_dir: str):
 
     return ds.map_batches(Project, fn_constructor_args=(v_ref,),
                           concurrency=_AC(), batch_format="pyarrow")
+
+
+def lang_len_regression(sf_dir: str):
+    """Grouped OLS slope (round 4): per-language regression of chars on
+    tokens — the moment-combiner shape for grouped linear fits: each
+    block contributes integer (n, Σx, Σy, Σxy, Σx²) per group, the tiny
+    rollup closes the slope/intercept formulas.  All moments are exact
+    int64, so both engines floor the SAME two IEEE divisions."""
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = TX.token_count(b["text"])
+        y = b["n_chars"].to_numpy(dtype=np.int64)
+        df = pd.DataFrame({"lang": b["lang"].to_numpy(), "n": np.int64(1),
+                           "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return df.groupby("lang", as_index=False, dropna=False).sum()
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    m = parts.groupby("lang", as_index=False, dropna=False).sum()
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx = m["sx"].to_numpy(dtype=np.float64)
+    sy = m["sy"].to_numpy(dtype=np.float64)
+    sxy = m["sxy"].to_numpy(dtype=np.float64)
+    sxx = m["sxx"].to_numpy(dtype=np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({
+        "lang": m["lang"], "n_docs": m["n"].astype(np.int64),
+        "slope_micro": np.floor(1e6 * slope).astype(np.int64),
+        "intercept_micro": np.floor(1e6 * intercept).astype(np.int64)})
+
+
+def docs_lang_source_chi2(sf_dir: str):
+    """Chi-square independence test of lang x source (round 4): the
+    contingency-table statistic over grouped counts — expected cell =
+    row_total * col_total / grand_total, chi² = Σ (obs-exp)²/exp.  One
+    combiner exchange worth of (lang, source, n) cells (bounded by the
+    category product), margins and the statistic close on the driver
+    from exact integers."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                           "source": b["source"].to_numpy(),
+                           "n": np.int64(1)})
+        return df.groupby(["lang", "source"], as_index=False,
+                          dropna=False).sum()
+
+    parts = ds.map_batches(cells, batch_format="pandas").to_pandas()
+    obs = parts.groupby(["lang", "source"], as_index=False,
+                        dropna=False).sum()
+    row = obs.groupby("lang")["n"].sum()
+    col = obs.groupby("source")["n"].sum()
+    total = float(obs["n"].sum())
+    exp = (row.loc[obs["lang"]].to_numpy(dtype=np.float64)
+           * col.loc[obs["source"]].to_numpy(dtype=np.float64) / total)
+    o = obs["n"].to_numpy(dtype=np.float64)
+    # per-cell floored micro terms summed as ints: float-order-free, so
+    # the oracle's arbitrary SUM order produces the identical total
+    terms = np.floor(1e6 * (o - exp) * (o - exp) / exp).astype(np.int64)
+    dof = (row.size - 1) * (col.size - 1)
+    return pd.DataFrame({
+        "chi2_micro": [np.int64(terms.sum())],
+        "dof": [np.int64(dof)],
+        "n_cells": [np.int64(len(obs))]})

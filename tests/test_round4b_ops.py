@@ -495,3 +495,35 @@ def test_embedding_top_component_vs_eigh(ray_session, sf_dir):
     # differ by 1 ulp at most on a handful of entries
     assert np.abs(got - ref).max() <= 1
     assert (np.abs(got - ref) > 0).mean() < 0.05
+
+
+def test_lang_len_regression_vs_numpy(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    d = _docs(sf_dir)
+    d["x"] = d["text"].fillna("").str.split().str.len().astype(np.int64)
+    got = Q.lang_len_regression(sf_dir).set_index("lang")
+    for lang, g in d.groupby("lang"):
+        slope, intercept = np.polyfit(g["x"].to_numpy(dtype=np.float64),
+                                      g["n_chars"].to_numpy(np.float64), 1)
+        # polyfit solves the same normal equations (lstsq); micro-floor
+        # of a well-conditioned fit agrees to ~1 micro unit
+        assert abs(got.loc[lang, "slope_micro"] - 1e6 * slope) < 50
+        assert abs(got.loc[lang, "intercept_micro"] - 1e6 * intercept) < 50
+        assert got.loc[lang, "n_docs"] == len(g)
+
+
+def test_chi2_vs_scipy_formula(ray_session, sf_dir):
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    d = _docs(sf_dir)
+    obs = d.groupby(["lang", "source"]).size().unstack(fill_value=0)
+    o = obs.to_numpy(dtype=np.float64)
+    # exclude structurally-absent cells, matching the groupby cells
+    exp = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
+    mask = o > 0
+    chi2 = ((o - exp) ** 2 / exp)[mask].sum()
+    got = Q.docs_lang_source_chi2(sf_dir)
+    assert abs(got["chi2_micro"][0] / 1e6 - chi2) < 0.01
+    assert got["dof"][0] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    assert got["n_cells"][0] == int(mask.sum())

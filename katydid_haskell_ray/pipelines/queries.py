@@ -3266,6 +3266,25 @@ def big_orders_customers(sf_dir: str):
     j1 = hash_join(big, orders.map_batches(ocents, batch_format="pandas"),
                    key="o_orderkey", left_cols=["total_qty"],
                    right_cols=["o_custkey", "total_cents"])
+    # customer-name hop: broadcast the dimension when it is dimension-
+    # sized, else a second partitioned join (the revenue_by_region
+    # auto-select convention)
+    if os.path.getsize(_t(sf_dir, "customer")) <= (64 << 20):
+        cust = pd.read_parquet(_t(sf_dir, "customer"),
+                               columns=["c_custkey", "c_name"])
+        ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+        class NameLookup:
+            def __init__(self):
+                self.m = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                out = b.rename(columns={"o_custkey": "c_custkey"})
+                out["c_name"] = out["c_custkey"].map(self.m).to_numpy()
+                return out
+
+        return j1.map_batches(NameLookup, batch_format="pandas",
+                              concurrency=_AC())
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
         lambda b: pd.DataFrame({"o_custkey": b["c_custkey"].to_numpy(),
                                 "c_name": b["c_name"].to_numpy()}),

@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_top_component": Q.embedding_top_component,  # rows-only (iterative)
         "lang_len_regression": Q.lang_len_regression,
         "docs_lang_source_chi2": Q.docs_lang_source_chi2,
+        "docs_export_by_lang": Q.docs_export_by_lang,
     }
 
 
@@ -1529,6 +1530,10 @@ def oracle_sql() -> dict[str, str]:
                         * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
                    (SELECT COUNT(*) FROM obs) AS n_cells
             FROM e
+        """,
+        "docs_export_by_lang": """
+            SELECT CAST(lang AS VARCHAR) AS lang, COUNT(*) AS n_rows
+            FROM documents GROUP BY lang
         """,
     }
 

@@ -112,7 +112,7 @@ def run_bench() -> dict:
         "embedding_quantize_int8", "docs_keyword_search",
         "q6_forecast_revenue", "late_orders_by_priority",
         "embedding_top_component", "lang_len_regression",
-        "docs_lang_source_chi2")
+        "docs_lang_source_chi2", "docs_export_by_lang")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

@@ -3745,3 +3745,33 @@ def docs_lang_source_chi2(sf_dir: str):
         "chi2_micro": [np.int64(terms.sum())],
         "dof": [np.int64(dof)],
         "n_cells": [np.int64(len(obs))]})
+
+
+def docs_export_by_lang(sf_dir: str, out_root: str | None = None):
+    """Partitioned parquet sink as a first-class operator (round 4):
+    export the corpus hive-partitioned by lang (`lang=<v>/` directories —
+    the resumable-output layout this repo's 100-TB story depends on:
+    a failed run re-processes only missing partitions) and prove the
+    round trip by READING THE WRITTEN FILES back for the per-lang counts
+    — the returned numbers come from the sink, not the source.  The
+    read-back prunes to one column and benefits from partition pruning
+    on the hive path."""
+    import tempfile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = out_root or tempfile.mkdtemp(prefix="graft_export_",
+                                       dir="/tmp")
+    ds.write_parquet(out, partition_cols=["lang"])
+
+    back = ray.data.read_parquet(out, columns=["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                           "n_rows": np.int64(1)})
+        return df.groupby("lang", as_index=False, dropna=False).sum()
+
+    parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+    outdf = parts.groupby("lang", as_index=False, dropna=False).sum()
+    # hive partition values come back as strings; lang already is one
+    outdf["lang"] = outdf["lang"].astype(str)
+    return outdf.astype({"n_rows": np.int64})

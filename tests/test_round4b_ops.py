@@ -527,3 +527,25 @@ def test_chi2_vs_scipy_formula(ray_session, sf_dir):
     assert abs(got["chi2_micro"][0] / 1e6 - chi2) < 0.01
     assert got["dof"][0] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
     assert got["n_cells"][0] == int(mask.sum())
+
+
+def test_export_by_lang_layout_and_counts(ray_session, sf_dir, tmp_path):
+    """Hive layout (lang=<v>/ dirs), counts from the WRITTEN files, and
+    partition pruning: reading one lang dir returns only that lang."""
+    from katydid_haskell_ray.pipelines import queries as Q
+    import ray as _ray
+
+    out = str(tmp_path / "export")
+    got = Q.docs_export_by_lang(sf_dir, out_root=out) \
+        .sort_values("lang").reset_index(drop=True)
+    d = _docs(sf_dir)
+    ref = (d.groupby("lang", as_index=False).size()
+           .rename(columns={"size": "n_rows"})
+           .sort_values("lang").reset_index(drop=True))
+    ref["lang"] = ref["lang"].astype(str)
+    pd.testing.assert_frame_equal(got.astype({"n_rows": np.int64}),
+                                  ref.astype({"n_rows": np.int64}))
+    parts = sorted(os.listdir(out))
+    assert parts == sorted(f"lang={v}" for v in ref["lang"])
+    one = _ray.data.read_parquet(os.path.join(out, parts[0]))
+    assert one.count() == int(ref["n_rows"].iloc[0])

@@ -3774,4 +3774,7 @@ def docs_export_by_lang(sf_dir: str, out_root: str | None = None):
     outdf = parts.groupby("lang", as_index=False, dropna=False).sum()
     # hive partition values come back as strings; lang already is one
     outdf["lang"] = outdf["lang"].astype(str)
+    if out_root is None:  # auto-created scratch: fully consumed above
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
     return outdf.astype({"n_rows": np.int64})

@@ -1504,12 +1504,14 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
                 GROUP BY lang)
             SELECT lang, CAST(n AS BIGINT) AS n_docs,
-                   CAST(floor(1e6 * (CAST(n AS DOUBLE) * sxy - sx * sy)
-                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) AS BIGINT)
+                   -- parenthesized num/den FIRST, then *1e6: the same
+                   -- floor(1e6 * (num/den)) double the numpy side computes
+                   CAST(floor(1e6 * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx))) AS BIGINT)
                        AS slope_micro,
-                   CAST(floor(1e6 * (sy - ((CAST(n AS DOUBLE) * sxy
+                   CAST(floor(1e6 * ((sy - ((CAST(n AS DOUBLE) * sxy
                         - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx))
-                        * sx) / CAST(n AS DOUBLE)) AS BIGINT)
+                        * sx) / CAST(n AS DOUBLE))) AS BIGINT)
                        AS intercept_micro
             FROM m
         """,

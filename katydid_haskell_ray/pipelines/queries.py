@@ -3280,6 +3280,10 @@ def big_orders_customers(sf_dir: str):
 
             def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
                 out = b.rename(columns={"o_custkey": "c_custkey"})
+                # INNER-join semantics like the partitioned branch and the
+                # oracle: a custkey absent from the dimension drops the row
+                # (membership test, so a legitimately-null c_name survives)
+                out = out[out["c_custkey"].isin(self.m)].copy()
                 out["c_name"] = out["c_custkey"].map(self.m).to_numpy()
                 return out
 
@@ -3623,39 +3627,54 @@ def late_orders_by_priority(sf_dir: str):
 def embedding_top_component(sf_dir: str):
     """Distributed dominant principal component (round 4): per-vector
     projection onto the corpus's top eigenvector — the embedding
-    drift/whitening primitive.  Pass 1 reduces per-block (X^T X, column
-    sum, count) partials — O(d²) floats per block, associative, pickled
-    one row per block exactly like the Bloom/HLL partial streams — and
-    the driver runs the deterministic power iteration on the TINY d x d
-    covariance.  Pass 2 projects each vector.  Sign convention: the
-    eigenvector's largest-|component| entry is positive.  Iterative —
+    drift/whitening primitive.  Pass 1 reduces per-block (column sum,
+    count); pass 2 reduces per-block CENTERED gram partials
+    (x-mu)^T (x-mu) — the uncentered Gram identity xtx/n - mu·mu^T
+    cancels catastrophically when ||mu|| >> sigma, as it is for
+    un-normalized encoder outputs.  Partials are O(d²) floats per block,
+    associative, pickled one row per block exactly like the Bloom/HLL
+    partial streams; the driver eigensolves the TINY d x d covariance
+    exactly (np.linalg.eigh — power iteration stalls when the top
+    eigengap is small).  Pass 3 projects each vector.  Sign convention:
+    the eigenvector's largest-|component| entry is positive.  Iterative —
     rows-only (no SQL oracle); verified against numpy.linalg.eigh."""
     import pickle
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def gram_partial(t: pa.Table) -> pa.Table:
+    def _mat(t: pa.Table) -> np.ndarray:
         emb = t.column("embedding")
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
-        x = emb.flatten().to_numpy(zero_copy_only=False) \
+        return emb.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.float64).reshape(len(emb), -1)
-        blob = pickle.dumps((x.T @ x, x.sum(axis=0), len(x)), protocol=5)
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        x = _mat(t)
+        blob = pickle.dumps((x.sum(axis=0), len(x)), protocol=5)
         return pa.table({"blob": pa.array([blob], type=pa.binary())})
 
-    xtx = mu_sum = n = None
-    for row in ds.map_batches(gram_partial,
+    mu_sum = n = None
+    for row in ds.map_batches(sum_partial,
                               batch_format="pyarrow").take_all():
-        g, s, c = pickle.loads(row["blob"])
-        xtx = g if xtx is None else xtx + g
+        s, c = pickle.loads(row["blob"])
         mu_sum = s if mu_sum is None else mu_sum + s
         n = c if n is None else n + c
-
     mu = mu_sum / n
-    cov = xtx / n - np.outer(mu, mu)
-    # exact symmetric eigensolve on the TINY d x d driver matrix (power
-    # iteration stalls when the top eigengap is small, as it is for
-    # near-isotropic embedding clouds)
+    mu_ref = ray.put(mu)
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        xc = _mat(t) - ray.get(mu_ref)
+        blob = pickle.dumps(xc.T @ xc, protocol=5)
+        return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+    xtx = None
+    for row in ds.map_batches(gram_partial,
+                              batch_format="pyarrow").take_all():
+        g = pickle.loads(row["blob"])
+        xtx = g if xtx is None else xtx + g
+
+    cov = xtx / n
     _, vecs = np.linalg.eigh(cov)
     v = vecs[:, -1]
     if v[np.argmax(np.abs(v))] < 0:
@@ -3731,16 +3750,21 @@ def docs_lang_source_chi2(sf_dir: str):
     parts = ds.map_batches(cells, batch_format="pandas").to_pandas()
     obs = parts.groupby(["lang", "source"], as_index=False,
                         dropna=False).sum()
-    row = obs.groupby("lang")["n"].sum()
-    col = obs.groupby("source")["n"].sum()
+    # margins keep the NULL category (dropna=False) and attach via merge
+    # (NaN-safe, unlike .loc lookups) — matching the oracle's NULL groups
+    row = obs.groupby("lang", dropna=False, as_index=False)["n"].sum() \
+        .rename(columns={"n": "rn"})
+    col = obs.groupby("source", dropna=False, as_index=False)["n"].sum() \
+        .rename(columns={"n": "cn"})
     total = float(obs["n"].sum())
-    exp = (row.loc[obs["lang"]].to_numpy(dtype=np.float64)
-           * col.loc[obs["source"]].to_numpy(dtype=np.float64) / total)
-    o = obs["n"].to_numpy(dtype=np.float64)
+    m = obs.merge(row, on="lang").merge(col, on="source")
+    exp = (m["rn"].to_numpy(dtype=np.float64)
+           * m["cn"].to_numpy(dtype=np.float64) / total)
+    o = m["n"].to_numpy(dtype=np.float64)
     # per-cell floored micro terms summed as ints: float-order-free, so
     # the oracle's arbitrary SUM order produces the identical total
     terms = np.floor(1e6 * (o - exp) * (o - exp) / exp).astype(np.int64)
-    dof = (row.size - 1) * (col.size - 1)
+    dof = (len(row) - 1) * (len(col) - 1)
     return pd.DataFrame({
         "chi2_micro": [np.int64(terms.sum())],
         "dof": [np.int64(dof)],
@@ -3761,20 +3785,26 @@ def docs_export_by_lang(sf_dir: str, out_root: str | None = None):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     out = out_root or tempfile.mkdtemp(prefix="graft_export_",
                                        dir="/tmp")
-    ds.write_parquet(out, partition_cols=["lang"])
+    try:
+        ds.write_parquet(out, partition_cols=["lang"])
 
-    back = ray.data.read_parquet(out, columns=["doc_id", "lang"])
+        back = ray.data.read_parquet(out, columns=["doc_id", "lang"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        df = pd.DataFrame({"lang": b["lang"].to_numpy(),
-                           "n_rows": np.int64(1)})
-        return df.groupby("lang", as_index=False, dropna=False).sum()
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            df = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                               "n_rows": np.int64(1)})
+            return df.groupby("lang", as_index=False, dropna=False).sum()
 
-    parts = back.map_batches(partial, batch_format="pandas").to_pandas()
-    outdf = parts.groupby("lang", as_index=False, dropna=False).sum()
-    # hive partition values come back as strings; lang already is one
-    outdf["lang"] = outdf["lang"].astype(str)
-    if out_root is None:  # auto-created scratch: fully consumed above
-        import shutil
-        shutil.rmtree(out, ignore_errors=True)
-    return outdf.astype({"n_rows": np.int64})
+        parts = back.map_batches(partial,
+                                 batch_format="pandas").to_pandas()
+        outdf = parts.groupby("lang", as_index=False, dropna=False).sum()
+        # hive partition values come back as strings; a NULL lang is
+        # encoded as the hive default-partition sentinel on disk — map it
+        # back to None so the output groups like the oracle's NULL
+        outdf["lang"] = outdf["lang"].astype(str).replace(
+            "__HIVE_DEFAULT_PARTITION__", None)
+        return outdf.astype({"n_rows": np.int64})
+    finally:
+        if out_root is None:  # auto-created scratch: consumed or failed
+            import shutil
+            shutil.rmtree(out, ignore_errors=True)

@@ -491,8 +491,8 @@ def test_embedding_top_component_vs_eigh(ray_session, sf_dir):
     ref = np.floor(1e6 * (x - mu) @ v).astype(np.int64)
     got = Q.embedding_top_component(sf_dir).to_pandas() \
         .set_index("vec_id").loc[emb["vec_id"], "proj_micro"].to_numpy()
-    # power iteration converges to the eigh eigenvector; micro-floors may
-    # differ by 1 ulp at most on a handful of entries
+    # both sides eigensolve; the distributed centered-gram partials sum
+    # in block order, so micro-floors may differ by 1 on a few entries
     assert np.abs(got - ref).max() <= 1
     assert (np.abs(got - ref) > 0).mean() < 0.05
 
@@ -549,3 +549,78 @@ def test_export_by_lang_layout_and_counts(ray_session, sf_dir, tmp_path):
     assert parts == sorted(f"lang={v}" for v in ref["lang"])
     one = _ray.data.read_parquet(os.path.join(out, parts[0]))
     assert one.count() == int(ref["n_rows"].iloc[0])
+
+
+def test_chi2_null_category(ray_session, tmp_path):
+    """A null lang forms its own margin category (SQL NULL-group parity)
+    instead of crashing the margin lookup."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    d = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": "t", "n_chars": np.int64(1),
+        "lang": ["en", "en", None, None, "fr", "fr", "en", None],
+        "source": ["a", "b", "a", "b", "a", "a", "a", "a"]})
+    d.to_parquet(tmp_path / "documents.parquet")
+    got = Q.docs_lang_source_chi2(str(tmp_path))
+    obs = d.groupby(["lang", "source"], dropna=False).size()
+    r = d.groupby("lang", dropna=False).size()
+    c = d.groupby("source", dropna=False).size()
+    chi2 = sum(
+        int(np.floor(1e6 * (n - r[la] * c[so] / len(d)) ** 2
+                     / (r[la] * c[so] / len(d))))
+        for (la, so), n in obs.items())
+    assert got["chi2_micro"][0] == chi2
+    assert got["dof"][0] == (len(r) - 1) * (len(c) - 1)
+    assert got["n_cells"][0] == len(obs)
+
+
+def test_export_null_lang_partition(ray_session, tmp_path):
+    """A null lang round-trips through the hive default partition back
+    to None (not the sentinel string)."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    d = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                      "text": "t", "n_chars": np.int64(1),
+                      "lang": ["en", None, "en", None, "fr", "en"],
+                      "source": "s"})
+    sub = tmp_path / "data"
+    sub.mkdir()
+    d.to_parquet(sub / "documents.parquet")
+    got = Q.docs_export_by_lang(str(sub)).sort_values(
+        "lang", na_position="last").reset_index(drop=True)
+    assert "__HIVE_DEFAULT_PARTITION__" not in set(got["lang"].astype(str))
+    by = dict(zip(got["lang"], got["n_rows"]))
+    assert by.get("en") == 3 and by.get("fr") == 1
+    assert sum(n for l, n in by.items() if l is None or l != l) == 2
+
+
+def test_big_orders_broadcast_inner_semantics(ray_session, tmp_path):
+    """An order whose custkey is absent from customer is DROPPED in the
+    broadcast branch, exactly like the partitioned join / SQL inner."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    li = pd.DataFrame({
+        "l_orderkey": np.repeat(np.arange(2, dtype=np.int64), 4),
+        "l_quantity": 50.0,
+        "l_partkey": np.int64(1), "l_suppkey": np.int64(1),
+        "l_linenumber": np.int32(1), "l_extendedprice": 1.0,
+        "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+        "l_linestatus": "O",
+        "l_shipdate": pd.Timestamp("1996-01-01")})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(2, dtype=np.int64),
+        "o_custkey": np.array([1, 99], dtype=np.int64),  # 99 missing
+        "o_orderstatus": "O", "o_totalprice": 10.0,
+        "o_orderdate": pd.Timestamp("1996-01-01"),
+        "o_orderpriority": "1-URGENT"})
+    cust = pd.DataFrame({"c_custkey": np.array([1], dtype=np.int64),
+                         "c_name": ["Customer#1"],
+                         "c_nationkey": np.int32(0), "c_acctbal": 0.0,
+                         "c_mktsegment": "BUILDING"})
+    for name, df in (("lineitem", li), ("orders", orders),
+                     ("customer", cust)):
+        df.to_parquet(tmp_path / f"{name}.parquet")
+    got = Q.big_orders_customers(str(tmp_path)).to_pandas()
+    assert got["o_orderkey"].tolist() == [0]
+    assert got["c_name"].tolist() == ["Customer#1"]

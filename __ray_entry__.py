@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_regression": Q.lang_len_regression,
         "docs_lang_source_chi2": Q.docs_lang_source_chi2,
         "docs_export_by_lang": Q.docs_export_by_lang,
+        "images_phash_components": Q.images_phash_components,
     }
 
 
@@ -1536,6 +1537,35 @@ def oracle_sql() -> dict[str, str]:
         "docs_export_by_lang": """
             SELECT CAST(lang AS VARCHAR) AS lang, COUNT(*) AS n_rows
             FROM documents GROUP BY lang
+        """,
+        "images_phash_components": f"""
+            WITH RECURSIVE fp AS (
+                SELECT phash, COUNT(*) AS n FROM {_IMAGES} GROUP BY phash
+            ), c AS (
+                SELECT phash, j.c AS chunk,
+                       (phash >> (16 * j.c)) & 65535 AS val
+                FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) j(c)
+            ), pairs AS (
+                SELECT DISTINCT a.phash AS pa, b.phash AS pb
+                FROM c a JOIN c b
+                  ON a.chunk = b.chunk AND a.val = b.val
+                 AND a.phash < b.phash
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ), edges AS (
+                SELECT pa, pb FROM pairs
+                UNION ALL SELECT pb AS pa, pa AS pb FROM pairs
+            ), walk (node, lab) AS (
+                SELECT DISTINCT pa AS node, pa AS lab FROM edges
+                UNION
+                SELECT e.pb AS node, w.lab
+                FROM walk w JOIN edges e ON e.pa = w.node
+            ), comp AS (
+                SELECT node, MIN(lab) AS comp_rep FROM walk GROUP BY node
+            )
+            SELECT comp.comp_rep, COUNT(*) AS n_fps,
+                   CAST(SUM(fp.n) AS BIGINT) AS n_rows
+            FROM comp JOIN fp ON comp.node = fp.phash
+            GROUP BY comp.comp_rep
         """,
     }
 

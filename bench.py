@@ -112,7 +112,8 @@ def run_bench() -> dict:
         "embedding_quantize_int8", "docs_keyword_search",
         "q6_forecast_revenue", "late_orders_by_priority",
         "embedding_top_component", "lang_len_regression",
-        "docs_lang_source_chi2", "docs_export_by_lang")
+        "docs_lang_source_chi2", "docs_export_by_lang",
+        "images_phash_components")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

@@ -3808,3 +3808,52 @@ def docs_export_by_lang(sf_dir: str, out_root: str | None = None):
         if out_root is None:  # auto-created scratch: consumed or failed
             import shutil
             shutil.rmtree(out, ignore_errors=True)
+
+
+def images_phash_components(sf_dir: str):
+    """Near-duplicate CLUSTERS over the phash graph (round 4): connected
+    components of the Hamming<=3 fingerprint graph as a first-class
+    oracled operator — the grouping step between pair generation and
+    dedup keep-selection.  Distinct-fp graph (duplicate-heavy column:
+    nodes are fingerprints with multiplicities, never row ids), pairs
+    from the pigeonhole operator, components via the BSP min-label
+    exchange (stages/components.py), counts re-attached by hash join,
+    one label-keyed exchange for the per-cluster rollup.  Oracle:
+    recursive reachability CTE (min label over the walk)."""
+    from katydid_haskell_ray.stages.components import connected_components
+    from katydid_haskell_ray.stages.join import hash_join
+
+    ds = ray.data.read_parquet(images_parquet(sf_dir), columns=["phash"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (b.to_pandas().groupby("phash", as_index=False)
+              .size().rename(columns={"size": "n"}))
+        bk = df["phash"].to_numpy().view(np.uint64)
+        return pa.Table.from_pandas(df.assign(__bucket=bk),
+                                    preserve_index=False)
+
+    fps = _auto_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda g: g.groupby("phash", as_index=False)["n"].sum()).materialize()
+
+    with_fp = fps.map_batches(
+        lambda t: t.select(["phash"]).append_column("fp", t.column("phash")),
+        batch_format="pyarrow")
+    pairs = DD.hamming_near_pairs(with_fp, id_col="phash", fp_col="fp",
+                                  max_hamming=3)
+    comp = connected_components(pairs, a_col="a", b_col="b")
+
+    nodes = comp.map_batches(
+        lambda t: pa.table({"phash": t.column("node"),
+                            "comp_rep": t.column("label")}),
+        batch_format="pyarrow")
+    j = hash_join(nodes, fps, key="phash",
+                  left_cols=["comp_rep"], right_cols=["n"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("comp_rep", as_index=False).agg(
+            n_fps=("phash", "size"), n_rows=("n", "sum"))
+
+    bucketed = j.map_batches(K.add_hash_fn("comp_rep"),
+                             batch_format="pyarrow")
+    return _auto_exchange(bucketed, per_bucket)

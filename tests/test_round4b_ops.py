@@ -624,3 +624,47 @@ def test_big_orders_broadcast_inner_semantics(ray_session, tmp_path):
     got = Q.big_orders_customers(str(tmp_path)).to_pandas()
     assert got["o_orderkey"].tolist() == [0]
     assert got["c_name"].tolist() == ["Customer#1"]
+
+
+def test_phash_components_bruteforce(ray_session, sf_dir):
+    """Components equal a brute union-find over the Hamming<=3 graph of
+    distinct fingerprints, with multiplicity-weighted sizes."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    img = pd.read_parquet(Q.images_parquet(sf_dir), columns=["phash"])
+    counts = img.groupby("phash").size()
+    fps = counts.index.to_numpy(dtype=np.int64)
+    # brute pairs
+    parent = {int(f): int(f) for f in fps}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    in_graph = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            x = (int(fps[i]) ^ int(fps[j])) & 0xFFFFFFFFFFFFFFFF
+            if bin(x).count("1") <= 3:
+                union(int(fps[i]), int(fps[j]))
+                in_graph.add(int(fps[i]))
+                in_graph.add(int(fps[j]))
+    ref = {}
+    for f in in_graph:
+        r = find(f)
+        st = ref.setdefault(r, [0, 0])
+        st[0] += 1
+        st[1] += int(counts[f])
+    got = Q.images_phash_components(sf_dir).to_pandas() \
+        .set_index("comp_rep").sort_index()
+    assert len(got) == len(ref)
+    for rep, (n_fps, n_rows) in ref.items():
+        assert got.loc[rep, "n_fps"] == n_fps
+        assert got.loc[rep, "n_rows"] == n_rows

@@ -932,31 +932,64 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
 
     import pandas as _pd
 
+    def _popcount64_mat(x: np.ndarray) -> np.ndarray:
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = ((x & np.uint64(0x3333333333333333))
+             + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101))
+                >> np.uint64(56)).astype(np.int64)
+
+    _PAIR_SLAB = 4_000_000  # max candidate pairs held per numpy slab
+
     def bucket_pairs(g: _pd.DataFrame) -> _pd.DataFrame:
-        m = g.merge(g, on=["chunk", "val"], suffixes=("_a", "_b"))
-        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
-        if not len(m):
+        """Per-(chunk,val) group pairing in SLAB-BOUNDED numpy: a pandas
+        self-merge would materialize the full quadratic candidate frame
+        (8 columns of objects) before any filtering — with low-entropy
+        fingerprint chunks (structured images) a single hot chunk value
+        makes that frame the task's peak memory.  Here candidates exist
+        only as a (slab x p) uint64 xor matrix, filtered to survivors
+        immediately; compute stays O(p²) (inherent to exactness) but
+        memory is bounded by _PAIR_SLAB."""
+        outs = []
+        for _, sub in g.groupby(["chunk", "val"], sort=False):
+            p = len(sub)
+            if p < 2:
+                continue
+            c = int(sub["chunk"].iloc[0])
+            ids = sub[id_col].to_numpy()
+            fps_ = sub[fp_col].to_numpy().view(np.uint64)
+            slab = max(1, _PAIR_SLAB // p)
+            for s0 in range(0, p, slab):
+                x = fps_[s0:s0 + slab][:, None] ^ fps_[None, :]
+                d = _popcount64_mat(x)
+                keep = ((d <= max_hamming)
+                        & (ids[s0:s0 + slab][:, None] < ids[None, :]))
+                if not keep.any():
+                    continue
+                xk = x[keep]
+                # emit a fingerprint pair only at its FIRST agreeing
+                # chunk, so a pair matching several chunks never repeats
+                first = np.full(len(xk), n_chunks, dtype=np.int64)
+                for cc in range(n_chunks - 1, -1, -1):
+                    agree = ((xk >> shifts[cc]) & masks[cc]) == 0
+                    first[agree] = cc
+                sel = first == c
+                if not sel.any():
+                    continue
+                ii, jj = np.nonzero(keep)
+                outs.append(_pd.DataFrame({
+                    "a": ids[s0:s0 + slab][ii[sel]],
+                    "b": ids[jj[sel]],
+                    "hamming": d[keep][sel]}))
+        if not outs:
             return _pd.DataFrame({"a": np.array([], dtype=g[id_col].dtype),
                                   "b": np.array([], dtype=g[id_col].dtype),
                                   "hamming": np.array([], dtype=np.int64)})
-        fa = m[f"{fp_col}_a"].to_numpy()
-        fb = m[f"{fp_col}_b"].to_numpy()
-        d = SK.hamming_distance64(fa, fb)
-        # emit a fingerprint pair only at its FIRST agreeing chunk, so a
-        # pair matching several chunks never repeats across buckets
-        x = fa.view(np.uint64) ^ fb.view(np.uint64)
-        first = np.full(len(m), n_chunks, dtype=np.int64)
-        for c in range(n_chunks - 1, -1, -1):
-            agree = ((x >> shifts[c]) & masks[c]) == 0
-            first[agree] = c
-        keep = (d <= max_hamming) & (first == m["chunk"].to_numpy())
-        out = _pd.DataFrame({"a": m[f"{id_col}_a"].to_numpy()[keep],
-                             "b": m[f"{id_col}_b"].to_numpy()[keep],
-                             "hamming": d[keep].astype(np.int64)})
         # duplicate ids can still converge on identical triples via
         # DIFFERENT fingerprints (distinct first chunks); the pair-keyed
         # dedup exchange below removes those globally
-        return out.drop_duplicates()
+        return _pd.concat(outs, ignore_index=True).drop_duplicates()
 
     from katydid_haskell_ray.stages.exchange import (
         bucket_map_groups, resolve_exchange)

@@ -21,6 +21,14 @@ Per-round plan (delta propagation, classic BSP label propagation):
 Only (int64, int64) rows ever shuffle — no payload.  A node's label is
 monotone non-increasing and re-broadcast only on change, so total message
 volume is O(E · diameter) worst-case but O(E) for star-shaped dup graphs.
+
+The exchange is resolved ONCE on the seed state (the volume maximum;
+later rounds shrink).  Known 100x refinement: the static EDGE rows are
+re-exchanged every round even though their bucket assignment never
+changes — an actor-pinned-partition iterate (adjacency resident per
+bucket actor, only LABEL/MSG rows moving) would cut per-round volume to
+the deltas; adopt it if component diameters or edge counts grow to where
+rounds dominate.
 """
 
 from __future__ import annotations
@@ -112,8 +120,16 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
         bucket_map_groups, resolve_exchange)
 
     state = edges.map_batches(seed, batch_format="pyarrow")
+    nb = max_b = None
     for rnd in range(max_rounds):
-        mat, nb, max_b = resolve_exchange(state, n_buckets)
+        if nb is None:
+            # resolve ONCE on the seed state (the volume maximum): later
+            # rounds only shrink, so the bucket count stays sufficient and
+            # the per-bucket byte bound stays valid — re-resolving every
+            # round costs one extra materialize+job per round
+            mat, nb, max_b = resolve_exchange(state, n_buckets)
+        else:
+            mat = state
         state = bucket_map_groups(mat, step, n_buckets=nb,
                                   bucket_col="bucket", modular=True,
                                   max_bucket_bytes=max_b).materialize()

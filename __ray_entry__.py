@@ -222,9 +222,15 @@ _AUG_DOCS = """
 def oracle_sql() -> dict[str, str]:
     # the images_* oracles read the synthesized sf0.01 table at a literal
     # /tmp path — materialize it NOW so the oracle side never depends on a
-    # Ray-side query having run first (n=10k takes the serial no-Ray path)
-    from katydid_haskell_ray.sources.synth_images import ensure_images_parquet
-    ensure_images_parquet("sf0.01")
+    # Ray-side query having run first (n=10k takes the serial no-Ray path).
+    # Non-fatal: if /tmp is unavailable the SQL strings still return and
+    # only the images oracles themselves would fail at execution time.
+    try:
+        from katydid_haskell_ray.sources.synth_images import \
+            ensure_images_parquet
+        ensure_images_parquet("sf0.01")
+    except Exception:
+        pass
     pass_expr = " AND ".join(_CHECK_SQL.values())
     fail_counts = " UNION ALL ".join(
         f"SELECT '{name}' AS check, CAST(SUM(CASE WHEN NOT ({expr}) THEN 1 "

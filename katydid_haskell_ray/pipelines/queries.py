@@ -1010,18 +1010,11 @@ def images_phash_dups(sf_dir: str):
     return K.duplicate_keys(ds, "phash")
 
 
-def images_phash_neardups(sf_dir: str):
-    """Perceptual near-duplicate fingerprint pairs (Hamming<=3 on phash64)
-    with pair multiplicities.
-
-    phash is a duplicate-HEAVY column, so the all-id-pairs expansion is
-    quadratic in dup-group size (6e9 rows at sf0.1) — the scale-honest
-    output is pairs between DISTINCT fingerprints carrying
-    n_pairs = n_a * n_b: first an exact (phash, count) aggregation
-    through the bucketed exchange, then the pigeonhole Hamming operator
-    over the distinct fingerprints (near-uniform -> bounded groups), then
-    counts re-attached by hash join."""
-    from katydid_haskell_ray.stages.join import hash_join
+def _distinct_phash_pairs(sf_dir: str, max_hamming: int = 3):
+    """Shared prelude of the phash near-dup family: exact (phash, n)
+    distinct-fingerprint aggregation through the bucketed exchange, then
+    the pigeonhole Hamming operator over the DISTINCT fingerprints.
+    Returns (fps Dataset[(phash, n)], pairs Dataset[(a, b, hamming)])."""
 
     ds = ray.data.read_parquet(images_parquet(sf_dir), columns=["phash"])
 
@@ -1042,7 +1035,22 @@ def images_phash_neardups(sf_dir: str):
         lambda t: t.select(["phash"]).append_column("fp", t.column("phash")),
         batch_format="pyarrow")
     pairs = DD.hamming_near_pairs(with_fp, id_col="phash", fp_col="fp",
-                                  max_hamming=3)
+                                  max_hamming=max_hamming)
+    return fps, pairs
+
+
+def images_phash_neardups(sf_dir: str):
+    """Perceptual near-duplicate fingerprint pairs (Hamming<=3 on phash64)
+    with pair multiplicities.
+
+    phash is a duplicate-HEAVY column, so the all-id-pairs expansion is
+    quadratic in dup-group size (6e9 rows at sf0.1) — the scale-honest
+    output is pairs between DISTINCT fingerprints carrying
+    n_pairs = n_a * n_b: the shared distinct-fp pigeonhole prelude
+    (_distinct_phash_pairs), then counts re-attached by hash join."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    fps, pairs = _distinct_phash_pairs(sf_dir)
     pa_side = pairs.map_batches(
         lambda t: pa.table({"phash": t.column("a"), "phash_b": t.column("b"),
                             "hamming": t.column("hamming")}),
@@ -3823,24 +3831,7 @@ def images_phash_components(sf_dir: str):
     from katydid_haskell_ray.stages.components import connected_components
     from katydid_haskell_ray.stages.join import hash_join
 
-    ds = ray.data.read_parquet(images_parquet(sf_dir), columns=["phash"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        df = (b.to_pandas().groupby("phash", as_index=False)
-              .size().rename(columns={"size": "n"}))
-        bk = df["phash"].to_numpy().view(np.uint64)
-        return pa.Table.from_pandas(df.assign(__bucket=bk),
-                                    preserve_index=False)
-
-    fps = _auto_exchange(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        lambda g: g.groupby("phash", as_index=False)["n"].sum()).materialize()
-
-    with_fp = fps.map_batches(
-        lambda t: t.select(["phash"]).append_column("fp", t.column("phash")),
-        batch_format="pyarrow")
-    pairs = DD.hamming_near_pairs(with_fp, id_col="phash", fp_col="fp",
-                                  max_hamming=3)
+    fps, pairs = _distinct_phash_pairs(sf_dir)
     comp = connected_components(pairs, a_col="a", b_col="b")
 
     nodes = comp.map_batches(

@@ -119,6 +119,12 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
     from katydid_haskell_ray.stages.exchange import (
         bucket_map_groups, resolve_exchange)
 
+    edges = edges.materialize()
+    if edges.count() == 0:  # empty graph: empty (node, label) result,
+        import ray as _ray     # not a schemaless-state crash
+        return _ray.data.from_arrow(pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "label": pa.array([], type=pa.int64())}))
     state = edges.map_batches(seed, batch_format="pyarrow")
     nb = max_b = None
     for rnd in range(max_rounds):

@@ -932,14 +932,6 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
 
     import pandas as _pd
 
-    def _popcount64_mat(x: np.ndarray) -> np.ndarray:
-        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-        x = ((x & np.uint64(0x3333333333333333))
-             + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
-        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-        return ((x * np.uint64(0x0101010101010101))
-                >> np.uint64(56)).astype(np.int64)
-
     _PAIR_SLAB = 4_000_000  # max candidate pairs held per numpy slab
 
     def bucket_pairs(g: _pd.DataFrame) -> _pd.DataFrame:
@@ -962,12 +954,13 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
             slab = max(1, _PAIR_SLAB // p)
             for s0 in range(0, p, slab):
                 x = fps_[s0:s0 + slab][:, None] ^ fps_[None, :]
-                d = _popcount64_mat(x)
+                d = SK.popcount64(x)
                 keep = ((d <= max_hamming)
                         & (ids[s0:s0 + slab][:, None] < ids[None, :]))
                 if not keep.any():
                     continue
-                xk = x[keep]
+                ii, jj = np.nonzero(keep)  # ONE pass over the slab mask
+                xk = x[ii, jj]
                 # emit a fingerprint pair only at its FIRST agreeing
                 # chunk, so a pair matching several chunks never repeats
                 first = np.full(len(xk), n_chunks, dtype=np.int64)
@@ -977,11 +970,10 @@ def hamming_near_pairs(ds, *, id_col: str, fp_col: str,
                 sel = first == c
                 if not sel.any():
                     continue
-                ii, jj = np.nonzero(keep)
                 outs.append(_pd.DataFrame({
                     "a": ids[s0:s0 + slab][ii[sel]],
                     "b": ids[jj[sel]],
-                    "hamming": d[keep][sel]}))
+                    "hamming": d[ii[sel], jj[sel]]}))
         if not outs:
             return _pd.DataFrame({"a": np.array([], dtype=g[id_col].dtype),
                                   "b": np.array([], dtype=g[id_col].dtype),

@@ -451,13 +451,15 @@ _POPCOUNT_LUT = np.unpackbits(
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array (byte-LUT)."""
-    lut = _POPCOUNT_LUT
-    x = x.astype(np.uint64, copy=False)
-    out = np.zeros(x.shape, dtype=np.int64)
-    for shift in range(0, 64, 8):
-        out += lut[np.bitwise_and(x >> np.uint64(shift), np.uint64(0xFF)).astype(np.uint8)]
-    return out
+    """Vectorized popcount of a uint64 array (SWAR bit trick — one
+    arithmetic pass, any shape; replaces the 8-pass byte-LUT)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101))
+            >> np.uint64(56)).astype(np.int64)
 
 
 def hamming_distance64(a, b) -> np.ndarray:

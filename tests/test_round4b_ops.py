@@ -668,3 +668,20 @@ def test_phash_components_bruteforce(ray_session, sf_dir):
     for rep, (n_fps, n_rows) in ref.items():
         assert got.loc[rep, "n_fps"] == n_fps
         assert got.loc[rep, "n_rows"] == n_rows
+
+
+def test_connected_components_empty_graph(ray_session):
+    """An empty edge set yields an empty (node, label) Dataset, not a
+    schemaless-state crash (the review-confirmed failure)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from katydid_haskell_ray.stages.components import connected_components
+
+    empty = _ray.data.from_arrow(pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "hamming": pa.array([], type=pa.int64())}))
+    out = connected_components(empty, a_col="a", b_col="b")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "label"}

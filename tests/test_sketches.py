@@ -271,3 +271,27 @@ def test_docs_top_tokens_approx_vs_exact(ray_session, sf_dir):
     assert list(approx["token"]) == list(exact["token"])
     for t, n_est in zip(approx["token"], approx["n_est"]):
         assert n_est >= ex[t]
+
+
+def test_popcount64_swar_vs_int_bit_count():
+    """The SWAR popcount (which replaced the byte-LUT and backs every
+    Hamming operator) matches Python's exact int.bit_count on edge
+    values and random draws, for both 1-D and 2-D shapes."""
+    import numpy as np
+
+    from katydid_haskell_ray.state.sketches import popcount64
+
+    edge = np.array([0, 1, 2**63, 2**64 - 1, 0x5555555555555555,
+                     0xAAAAAAAAAAAAAAAA, 0x0101010101010101],
+                    dtype=np.uint64)
+    rng = np.random.default_rng(11)
+    rand = rng.integers(0, 2**64, size=500, dtype=np.uint64)
+    for arr in (edge, rand, rand.reshape(50, 10)):
+        got = popcount64(arr)
+        ref = np.array([int(v).bit_count() for v in arr.ravel()],
+                       dtype=np.int64).reshape(arr.shape)
+        assert (got == ref).all()
+    # input must not be mutated (popcount64 copies)
+    before = rand.copy()
+    popcount64(rand)
+    assert (rand == before).all()

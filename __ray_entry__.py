@@ -1536,7 +1536,11 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1),
             t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tn FROM obs),
             e AS (SELECT CAST(obs.n AS DOUBLE) AS o, r.rn * c.cn / t.tn AS ex
-                  FROM obs JOIN r USING (lang) JOIN c USING (source)
+                  -- NULL-safe joins: a NULL lang/source is its own category
+                  -- on BOTH sides (engine groups with dropna=False); plain
+                  -- USING would silently drop NULL-keyed cells here
+                  FROM obs JOIN r ON obs.lang IS NOT DISTINCT FROM r.lang
+                           JOIN c ON obs.source IS NOT DISTINCT FROM c.source
                   CROSS JOIN t)
             SELECT CAST(SUM(CAST(floor(1e6 * (o - ex) * (o - ex) / ex)
                         AS BIGINT)) AS BIGINT) AS chi2_micro,

@@ -690,6 +690,11 @@ def revenue_by_region(sf_dir: str, broadcast_max_bytes: int = 64 << 20):
                 self.m = ray.get(ref)
 
             def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                # INNER semantics, matching both the partitioned branch and
+                # the oracle's join chain: orders whose custkey is absent
+                # from customer are dropped, not kept as a NaN region group
+                keep = b["o_custkey"].isin(self.m).to_numpy()
+                b = b[keep]
                 return pd.DataFrame({
                     "r_name": b["o_custkey"].map(self.m).to_numpy(),
                     "cents": _cents(b["o_totalprice"].to_numpy())})
@@ -2449,9 +2454,11 @@ def events_prev_value(sf_dir: str):
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "user_id": g["user_id"].to_numpy(),
-            # pandas nullable Int64 -> arrow int64-with-null (the oracle's
-            # LAG NULL), not a float NaN column
-            "prev_cents": pd.array(prev, dtype="Int64")})
+            # float64/NaN, NOT pandas "Int64": the nullable-output parity
+            # convention (r4 gate: the extension dtype hash-mismatched the
+            # oracle even with identical values — DuckDB .df() lands
+            # nullable BIGINT as float64/NaN, so query outputs do too)
+            "prev_cents": prev.to_numpy(dtype=np.float64)})
 
     bucketed = (ds.map_batches(prep, batch_format="pyarrow")
                 .map_batches(K.add_hash_fn("user_id"), batch_format="pyarrow"))

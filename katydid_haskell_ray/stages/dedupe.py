@@ -532,8 +532,9 @@ def jaccard_near_pairs(ds, *, threshold: float = 0.5, col: str = "text",
     then sort LAST — so a stop-word shingle sits in a prefix only for
     docs consisting almost entirely of hot shingles, and its stage-1
     posting list stays short.  Exactness is order-independent, so the
-    hot set is a pure performance knob (``hot_df`` defaults to
-    max(64, n_docs/200), hot set capped at 65536 driver-side rows).
+    hot set is a pure performance knob (``hot_df`` defaults to 64 —
+    corpus-size-independent, so no count pass — hot set capped at 65536
+    driver-side rows).
 
     Candidates are exact-verified by COUNTING: a second posting exchange
     over the FULL shingle sets — restricted to candidate DOCS by a Bloom

@@ -149,23 +149,30 @@ def asof_join_keyed(left, right, *, key: str, ts_col: str,
     broadcast of a fact-sized side.  Left rows before their key's first
     right timestamp (or with no right rows at all) get a null ``out_col``.
     Bucket count derives from both sides' materialized bytes unless
-    pinned.  Timestamps must be an orderable numeric/timestamp column;
-    ``out_col`` carries the matched right timestamp."""
+    pinned.  Timestamps may be numeric (epoch) or arrow timestamp-typed;
+    timestamp columns are normalized to int64 epoch MICROSECONDS before
+    the merge (the add_tumbling_window cast convention — never a bare
+    int view of a ns source), so ``out_col`` and a timestamp-typed
+    ``ts_col`` come back as epoch-us int64 (null where unmatched)."""
     from katydid_haskell_ray.stages.exchange import bucket_cogroup
 
     rts = right_ts_col or ts_col
 
-    def tag(cols):
+    def tag(cols, tcol):
         def f(b: pa.Table) -> pa.Table:
             b = b.select(cols)
+            if pa.types.is_timestamp(b.schema.field(tcol).type):
+                b = b.set_column(
+                    b.column_names.index(tcol), tcol,
+                    b.column(tcol).cast(pa.timestamp("us")).cast(pa.int64()))
             h = SK.hash64_array(b.column(key))
             return b.append_column("__bucket", pa.array(h.astype(np.uint64)))
         return f
 
     lproj = [key, ts_col] + [c for c in (left_cols or [])
                              if c not in (key, ts_col)]
-    tl = left.map_batches(tag(lproj), batch_format="pyarrow")
-    tr = right.map_batches(tag([key, rts]), batch_format="pyarrow")
+    tl = left.map_batches(tag(lproj, ts_col), batch_format="pyarrow")
+    tr = right.map_batches(tag([key, rts], rts), batch_format="pyarrow")
 
     def per_bucket(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         if ldf.shape[1] == 0:

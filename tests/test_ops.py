@@ -318,6 +318,43 @@ def test_asof_join_keyed_vs_brute(ray_session):
     assert got_m.isna().any()  # the no-right-rows keys produce nulls
 
 
+def test_asof_join_keyed_timestamp_inputs(ray_session):
+    """datetime64 ts columns normalize to epoch-us int64 before the merge
+    (ADVICE r4: the Int64 cast used to raise on timestamp inputs), and a
+    ns-resolution source scales to us — never a raw int64 view."""
+    import ray.data
+    from katydid_haskell_ray.stages.join import asof_join_keyed
+
+    left = pd.DataFrame({
+        "k": np.array([1, 1, 2, 3], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:01",
+                              "2024-01-01 00:00:09", "2024-01-01 00:00:02"]),
+        "payload": np.arange(4, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": np.array([1, 1, 2], dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01 00:00:02", "2024-01-01 00:00:04",
+                              "2024-01-01 00:00:07"])})
+    out = asof_join_keyed(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="k", ts_col="ts", out_col="m",
+        left_cols=["payload"], n_buckets=2).to_pandas() \
+        .sort_values("payload").reset_index(drop=True)
+
+    def us(s):
+        return int(pd.Timestamp(s).value // 1000)
+
+    assert len(out) == 4
+    # k=1 ts=05 -> right 04; k=1 ts=01 -> null; k=2 ts=09 -> 07; k=3 -> null
+    got = out["m"].astype("float64")
+    assert got[0] == us("2024-01-01 00:00:04")
+    assert pd.isna(got[1])
+    assert got[2] == us("2024-01-01 00:00:07")
+    assert pd.isna(got[3])
+    # left ts column came back as epoch-us int64, not raw ns
+    assert out["ts"].to_numpy().dtype == np.int64
+    assert out["ts"][0] == us("2024-01-01 00:00:05")
+
+
 def test_asof_lookup(ray_session):
     import pyarrow as pa
     import ray.data

@@ -1,0 +1,128 @@
+"""Round-5 regression tests: the nullable-output parity convention (no
+pandas extension dtype may leave a query — DuckDB ``.df()`` lands nullable
+BIGINT as float64/NaN and the driver hashes the two differently), the
+NULL-safe chi2 oracle joins, and revenue_by_region branch agreement on
+referential violations."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _to_pandas(res):
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def test_prev_value_dtype_and_oracle(ray_session):
+    """events_prev_value emits prev_cents as plain float64/NaN (the r4
+    gate failed on a value-identical result solely because the column
+    shipped as pandas 'Int64') and matches the LAG oracle exactly."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = _to_pandas(Q.events_prev_value(SF))
+    assert str(got["prev_cents"].dtype) == "float64", \
+        "nullable outputs must be float64/NaN, never an extension dtype"
+
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT event_id, user_id,
+               LAG(CAST(floor(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+        FROM read_parquet('{SF}/events.parquet')
+    """).df()
+    g = got.sort_values("event_id").reset_index(drop=True)
+    e = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["user_id"].to_numpy() == e["user_id"].to_numpy()).all()
+    assert np.allclose(g["prev_cents"].fillna(-1).to_numpy(),
+                       e["prev_cents"].fillna(-1).to_numpy())
+    assert g["prev_cents"].isna().sum() == e["prev_cents"].isna().sum()
+
+
+def test_no_extension_dtype_in_nullable_outputs(ray_session):
+    """The nullable-output convention, enforced over every query that
+    emits SQL-NULL-bearing columns: no pandas extension dtype survives to
+    the driver-facing result."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    nullable_emitters = [
+        Q.events_prev_value, Q.events_user_asof, Q.events_asof_order,
+        Q.building_urgent_outer,
+    ]
+    for fn in nullable_emitters:
+        df = _to_pandas(fn(SF))
+        bad = [c for c in df.columns
+               if pd.api.types.is_extension_array_dtype(df[c].dtype)]
+        assert not bad, f"{fn.__name__} leaks extension dtypes: {bad}"
+
+
+def test_chi2_oracle_null_safe_joins(ray_session, tmp_path):
+    """The chi2 oracle's margin joins are NULL-safe (IS NOT DISTINCT
+    FROM): with a NULL lang present, engine and oracle agree on every
+    output — plain USING joins would silently drop the NULL-keyed cells
+    (ADVICE r4)."""
+    import __ray_entry__ as RE
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    d = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": "t", "n_chars": np.int64(1),
+        "lang": ["en", "en", None, None, "fr", "fr", "en", None, "fr", None],
+        "source": ["a", "b", "a", "b", "a", "a", "a", "a", None, "b"]})
+    d.to_parquet(tmp_path / "documents.parquet")
+    got = _to_pandas(Q.docs_lang_source_chi2(str(tmp_path)))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(RE.oracle_sql()["docs_lang_source_chi2"]).df()
+    assert int(got["chi2_micro"][0]) == int(exp["chi2_micro"][0])
+    assert int(got["dof"][0]) == int(exp["dof"][0])
+    assert int(got["n_cells"][0]) == int(exp["n_cells"][0])
+
+
+def test_revenue_by_region_branch_agreement(ray_session, tmp_path):
+    """Both auto-selected branches of revenue_by_region drop orders whose
+    custkey is absent from customer (inner semantics, matching the
+    oracle's join chain) — the broadcast branch used to keep them as a
+    NaN region group (ADVICE r4)."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    pd.DataFrame({"r_regionkey": np.array([0, 1], dtype=np.int64),
+                  "r_name": ["EAST", "WEST"]}) \
+        .to_parquet(tmp_path / "region.parquet")
+    pd.DataFrame({"n_nationkey": np.array([0, 1], dtype=np.int64),
+                  "n_regionkey": np.array([0, 1], dtype=np.int64)}) \
+        .to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame({"c_custkey": np.array([1, 2], dtype=np.int64),
+                  "c_nationkey": np.array([0, 1], dtype=np.int64)}) \
+        .to_parquet(tmp_path / "customer.parquet")
+    # custkey 99 violates referential integrity
+    pd.DataFrame({"o_custkey": np.array([1, 2, 99, 1], dtype=np.int64),
+                  "o_totalprice": [10.0, 20.0, 999.0, 5.0]}) \
+        .to_parquet(tmp_path / "orders.parquet")
+
+    wide = _to_pandas(Q.revenue_by_region(str(tmp_path)))  # broadcast
+    narrow = _to_pandas(
+        Q.revenue_by_region(str(tmp_path), broadcast_max_bytes=0))
+
+    def canon(df):
+        return df.sort_values("r_name").reset_index(drop=True)[
+            ["r_name", "revenue_cents", "n_orders"]].astype(
+            {"revenue_cents": np.int64, "n_orders": np.int64})
+
+    w, n = canon(wide), canon(narrow)
+    assert w.equals(n)
+    assert set(w["r_name"]) == {"EAST", "WEST"}  # no NaN group
+    assert w.loc[w["r_name"] == "EAST", "revenue_cents"].item() == 1500
+    assert int(w["n_orders"].sum()) == 3  # the violating order is dropped

@@ -1123,6 +1123,22 @@ def images_verdicts(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def images_verdict_full(sf_dir: str):
+    """THE flagship composite, oracled end-to-end (r4 verdict #7): the
+    exact ``entry()`` pipeline — grammar + all flat constraints +
+    referential caption-vocab check + the DECODE pass (decode/dims/
+    fmt-magic/phash recompute) — returning every row's overall verdict.
+    SQL-expressible because the synth table is a pure function of the row
+    index carried in image_id: the decode-dependent check outcomes are
+    exactly the generator's anomaly residue classes (synth_images.py
+    docstring), which the oracle recomputes from ``image_id`` while every
+    metadata/byte/vocab check is recomputed from the columns themselves."""
+    from katydid_haskell_ray.pipelines.validate import verdict_dataset
+
+    ds = verdict_dataset(images_parquet(sf_dir), caption_vocab=SI._VOCAB)
+    return ds.select_columns(["image_id", "pass"])
+
+
 def images_check_failures(sf_dir: str):
     """(check, n_fail) per METADATA flat check (pruned read; byte-level
     failure counts come out of the decode pass)."""
@@ -3831,9 +3847,10 @@ def images_phash_components(sf_dir: str):
     oracled operator — the grouping step between pair generation and
     dedup keep-selection.  Distinct-fp graph (duplicate-heavy column:
     nodes are fingerprints with multiplicities, never row ids), pairs
-    from the pigeonhole operator, components via the BSP min-label
-    exchange (stages/components.py), counts re-attached by hash join,
-    one label-keyed exchange for the per-cluster rollup.  Oracle:
+    from the pigeonhole operator, components via the actor-pinned
+    adjacency BSP (stages/components.py — edges resident per partition
+    actor, only label deltas move per round), counts re-attached by hash
+    join, one label-keyed exchange for the per-cluster rollup.  Oracle:
     recursive reachability CTE (min label over the walk)."""
     from katydid_haskell_ray.stages.components import connected_components
     from katydid_haskell_ray.stages.join import hash_join

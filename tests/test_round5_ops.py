@@ -91,6 +91,49 @@ def test_chi2_oracle_null_safe_joins(ray_session, tmp_path):
     assert int(got["n_cells"][0]) == int(exp["n_cells"][0])
 
 
+def test_connected_components_chain_multi_partition(ray_session):
+    """Adversarial deep chain across forced-small partitions: a path graph
+    0-1-2-...-63 needs many delta rounds and every label must reach 0;
+    plus a disjoint triangle keeps its own min label.  Exercises the
+    actor-pinned adjacency path (messages crossing partitions every
+    round)."""
+    import ray.data
+    from katydid_haskell_ray.stages.components import connected_components
+
+    n = 64
+    a = np.arange(n - 1, dtype=np.int64)
+    b = a + 1
+    tri = np.array([[1000, 1001], [1001, 1002], [1002, 1000]],
+                   dtype=np.int64)
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(np.concatenate([a, tri[:, 0]])),
+        "b": pa.array(np.concatenate([b, tri[:, 1]]))}))
+    out = connected_components(edges, a_col="a", b_col="b",
+                               n_buckets=4, max_rounds=200).to_pandas()
+    assert len(out) == n + 3  # every endpoint exactly once
+    chain = out[out["node"] < n]
+    assert (chain["label"] == 0).all()
+    tri_lab = out[out["node"] >= 1000]
+    assert (tri_lab["label"] == 1000).all()
+
+
+def test_connected_components_duplicate_and_self_edges(ray_session):
+    """Duplicate edge rows and self-loops neither crash nor duplicate
+    output nodes (the finalize dedup that also makes delivery retries
+    idempotent)."""
+    import ray.data
+    from katydid_haskell_ray.stages.components import connected_components
+
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([5, 5, 5, 7, 9], type=pa.int64()),
+        "b": pa.array([6, 6, 5, 8, 9], type=pa.int64())}))
+    out = connected_components(edges, a_col="a", b_col="b",
+                               n_buckets=2).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert out["node"].tolist() == [5, 6, 7, 8, 9]
+    assert out["label"].tolist() == [5, 5, 7, 7, 9]
+
+
 def test_revenue_by_region_branch_agreement(ray_session, tmp_path):
     """Both auto-selected branches of revenue_by_region drop orders whose
     custkey is absent from customer (inner semantics, matching the

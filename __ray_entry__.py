@@ -45,19 +45,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ensure_images_parquet(sf)
 
     # ORDER CONTRACT: the driver's correctness gate snapshots the FIRST ~50
-    # entries of this dict.  CORRECTNESS_r01-r03 permanently certify the 59
-    # queries gated in earlier rounds, so the 44 queries that have never had
-    # an official row come FIRST here (r04 gate coverage), padded to 50 with
-    # six flagship re-certifications.  The remaining 53 keep their official
-    # r01-r03 rows and stay covered by scripts/selfcheck.py.
+    # entries of this dict.  r05 window = the 27 round-4-continuation
+    # queries that had never been in an official snapshot, plus the three
+    # queries whose behavior changed this round (events_prev_value's
+    # nullable-dtype fix, revenue_by_region's broadcast-branch inner
+    # semantics, docs_lang_source_chi2's NULL-safe oracle) and the NEW
+    # flagship composite images_verdict_full, padded to 50 with flagship
+    # re-certifications.  Every other query keeps its official r01-r04 row
+    # and stays covered by scripts/selfcheck.py.
     return {
-        # --- never-gated before r04: images family + round-2/3 additions ---
+        # --- never officially gated before (round-4 continuation ops) ---
+        "events_user_asof": Q.events_user_asof,
+        "events_funnel": Q.events_funnel,
+        "doc_char_entropy": Q.doc_char_entropy,
+        "docs_pmi_bigrams": Q.docs_pmi_bigrams,
+        "docs_contamination": Q.docs_contamination,
+        "images_fmt_magic": Q.images_fmt_magic,
+        "embedding_norms": Q.embedding_norms,
+        "docs_split_assign": Q.docs_split_assign,
+        "docs_pack_sequences": Q.docs_pack_sequences,
+        "images_exact_dupes": Q.images_exact_dupes,
+        "images_bytes_entropy": Q.images_bytes_entropy,
+        "customer_rfm": Q.customer_rfm,
+        "docs_keyword_search": Q.docs_keyword_search,
+        "docs_unigram_surprisal": Q.docs_unigram_surprisal,
+        "big_orders_customers": Q.big_orders_customers,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "promo_revenue_share": Q.promo_revenue_share,
+        "docs_quality_deciles": Q.docs_quality_deciles,
+        "events_dow_hour_heatmap": Q.events_dow_hour_heatmap,
+        "events_debounce": Q.events_debounce,
+        "embedding_quantize_int8": Q.embedding_quantize_int8,
+        "late_orders_by_priority": Q.late_orders_by_priority,
+        "embedding_top_component": Q.embedding_top_component,  # rows-only (iterative)
+        "lang_len_regression": Q.lang_len_regression,
+        "docs_lang_source_chi2": Q.docs_lang_source_chi2,
+        "docs_export_by_lang": Q.docs_export_by_lang,
+        "images_phash_components": Q.images_phash_components,
+        # --- changed this round: re-gate ---
+        "events_prev_value": Q.events_prev_value,
+        "revenue_by_region": Q.revenue_by_region,
+        # --- NEW: the flagship composite (entry()'s pipeline, oracled) ---
+        "images_verdict_full": Q.images_verdict_full,
+        # --- flagship re-certifications (slots 31-50) ---
+        "q1_lineitem_agg": Q.q1_lineitem_agg,
+        "q3_join_revenue": Q.q3_join_revenue,
+        "images_verdicts": Q.images_verdicts,
+        "images_uniqueness": Q.images_uniqueness,
+        "minhash_dedupe_docs": Q.minhash_dedupe_docs,
+        "knn_brute": Q.knn_brute,
         "jaccard_pairs_docs": Q.jaccard_pairs_docs,
         "caption_edit1_pairs": Q.caption_edit1_pairs,
         "docs_drift_psi": Q.docs_drift_psi,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "events_first_last": Q.events_first_last,
-        "revenue_by_region": Q.revenue_by_region,
         "docs_top_bigrams": Q.docs_top_bigrams,
         "images_phash_neardups": Q.images_phash_neardups,
         "images_caption_grammar": Q.images_caption_grammar,
@@ -66,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_user_ref_bloom": Q.docs_user_ref_bloom,
         "doc_quality_gopher": Q.doc_quality_gopher,
         "pii_scan_docs": Q.pii_scan_docs,
+        "events_gap_quantiles": Q.events_gap_quantiles,
+        # --- certified in r01-r04 gates (selfcheck keeps them honest) ---
         "images_resolution_hist": Q.images_resolution_hist,
         "images_wh_corr": Q.images_wh_corr,
         "caption_dup_xphash": Q.caption_dup_xphash,
@@ -75,7 +118,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_persisted": Q.knn_ivf_persisted,  # rows-only (approx ANN)
         "docs_top_tokens_approx": Q.docs_top_tokens_approx,  # rows-only (CMS)
         "doc_subword_stats": Q.doc_subword_stats,
-        "events_gap_quantiles": Q.events_gap_quantiles,
         "lang_top_docs_concat": Q.lang_top_docs_concat,
         "docs_percent_rank": Q.docs_percent_rank,
         "events_cumsum": Q.events_cumsum,
@@ -92,18 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": Q.embedding_centroids,
         "kmeans_embeddings": Q.kmeans_embeddings,  # rows-only (iterative)
         "props_filter_rows": Q.props_filter_rows,
-        "events_prev_value": Q.events_prev_value,
         "events_value_mad": Q.events_value_mad,
         "events_user_rank": Q.events_user_rank,
         "users_per_type_approx": Q.users_per_type_approx,  # rows-only (HLL)
-        # --- flagship re-certifications (slots 45-50) ---
-        "q1_lineitem_agg": Q.q1_lineitem_agg,
-        "q3_join_revenue": Q.q3_join_revenue,
-        "images_verdicts": Q.images_verdicts,
-        "images_uniqueness": Q.images_uniqueness,
-        "minhash_dedupe_docs": Q.minhash_dedupe_docs,
-        "knn_brute": Q.knn_brute,
-        # --- certified in r01-r03 gates (selfcheck keeps them honest) ---
         "top_orders": Q.top_orders,
         "filter_docs": Q.filter_docs,
         "distinct_users": Q.distinct_users,
@@ -157,37 +190,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_caption_ref": Q.images_caption_ref,
         "images_decode_checks": Q.images_decode_checks,  # rows-only (codec)
         "images_features": Q.images_features,            # rows-only (codec)
-        # --- round-4 additions (selfcheck-covered; gate window unchanged) ---
-        # NOTE for the round-5 reorder: everything from here DOWN has never
-        # been in an official gate snapshot — promote these 21 queries into
-        # the first-50 window next round (all are selfcheck-green today).
-        "events_user_asof": Q.events_user_asof,
-        "events_funnel": Q.events_funnel,
-        "doc_char_entropy": Q.doc_char_entropy,
-        "docs_pmi_bigrams": Q.docs_pmi_bigrams,
-        "docs_contamination": Q.docs_contamination,
-        "images_fmt_magic": Q.images_fmt_magic,
-        "embedding_norms": Q.embedding_norms,
-        "docs_split_assign": Q.docs_split_assign,
-        "docs_pack_sequences": Q.docs_pack_sequences,
-        "images_exact_dupes": Q.images_exact_dupes,
-        "images_bytes_entropy": Q.images_bytes_entropy,
-        "customer_rfm": Q.customer_rfm,
-        "docs_keyword_search": Q.docs_keyword_search,
-        "docs_unigram_surprisal": Q.docs_unigram_surprisal,
-        "big_orders_customers": Q.big_orders_customers,
-        "q6_forecast_revenue": Q.q6_forecast_revenue,
-        "promo_revenue_share": Q.promo_revenue_share,
-        "docs_quality_deciles": Q.docs_quality_deciles,
-        "events_dow_hour_heatmap": Q.events_dow_hour_heatmap,
-        "events_debounce": Q.events_debounce,
-        "embedding_quantize_int8": Q.embedding_quantize_int8,
-        "late_orders_by_priority": Q.late_orders_by_priority,
-        "embedding_top_component": Q.embedding_top_component,  # rows-only (iterative)
-        "lang_len_regression": Q.lang_len_regression,
-        "docs_lang_source_chi2": Q.docs_lang_source_chi2,
-        "docs_export_by_lang": Q.docs_export_by_lang,
-        "images_phash_components": Q.images_phash_components,
     }
 
 
@@ -210,6 +212,14 @@ _CHECK_SQL = {
 # metadata queries prune the ``bytes`` column out of their reads, mirroring
 # validate.METADATA_CHECKS vs DEFAULT_CHECKS
 _BYTES_CHECK_SQL = "COALESCE(octet_length(bytes) > 8, FALSE)"
+
+# the caption-vocab referential set (synth_images._VOCAB) as a SQL IN list
+def _vocab_sql() -> str:
+    from katydid_haskell_ray.sources.synth_images import _VOCAB
+    return ", ".join(f"'{w}'" for w in _VOCAB)
+
+
+_VOCAB_SQL = _vocab_sql()
 
 _AUG_DOCS = """
     SELECT doc_id, text FROM documents
@@ -793,6 +803,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "images_verdicts": f"""
             SELECT image_id, ({pass_expr}) AS pass FROM {_IMAGES}
+        """,
+        # the flagship composite: entry()'s full pipeline per-row verdict.
+        # Metadata / byte / grammar / vocab checks recompute from the
+        # columns; the decode-dependent checks (decode, dims, fmt-magic,
+        # phash recompute) are exact functions of the generator's anomaly
+        # residue classes (synth_images.py: i%1000 in {3,5,7}, i%20==11),
+        # recovered from the row index embedded in image_id.  A duplicate-id
+        # row (i%1000==1) decodes i-1 from its id — residue 0, predicted
+        # clean — which matches, because only its id is copied; every other
+        # column is row i's own valid value and i%1000==1 rows are never in
+        # another anomaly class (and never hot: 1000 ≡ 0 mod 20).
+        "images_verdict_full": f"""
+            WITH t AS (SELECT *, CAST(substr(image_id, 5) AS BIGINT) AS i
+                       FROM {_IMAGES})
+            SELECT image_id,
+                   ({pass_expr}
+                    AND {_BYTES_CHECK_SQL}
+                    AND COALESCE(image_id LIKE 'img-%', FALSE)
+                    AND COALESCE(caption IS NOT NULL AND caption <> '', FALSE)
+                    AND COALESCE(len(list_filter(string_split(caption, ' '),
+                        x -> x NOT IN ({_VOCAB_SQL}))) = 0, FALSE)
+                    AND i % 1000 <> 3 AND i % 1000 <> 5 AND i % 1000 <> 7
+                    AND i % 20 <> 11) AS pass
+            FROM t
         """,
         "images_caption_grammar": f"""
             SELECT image_id,

@@ -74,6 +74,15 @@ def test_suite_corpus_is_nontrivial():
     assert 10 <= valids <= len(cases) - 10  # both polarities well-covered
 
 
+def test_pb_corpus_is_nontrivial():
+    """r5: pb wire corpus >= 30 cases (nested descriptor maps, per-wire-
+    type unknown-field skips, zigzag/fixed edges), both polarities."""
+    cases = list(_dirs(PB_SUITE))
+    assert len(cases) >= 30
+    valids = sum(_read_layout_case(p, ".pb")[2] for _, p in cases)
+    assert 5 <= valids <= len(cases) - 5
+
+
 # ---------------------------------------------------------------------------
 # xml/ and pb/ layout cases (Suite.hs readXMLTest / readProtoTest analogs)
 # ---------------------------------------------------------------------------

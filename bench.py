@@ -168,20 +168,36 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
     # used — the standard least-interference estimator, since noise only
     # ever ADDS time.  All raw legs are reported alongside.
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
-    out, raw = {}, {}
+
+    def _cpu_sample():
+        # /proc/stat "cpu" line: user nice system idle iowait irq softirq
+        # steal ... — the ambient-interference evidence per leg
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        v = [int(x) for x in parts[:8]] + [0] * (8 - len(parts[:8]))
+        return {"total": sum(v), "idle": v[3] + v[4], "steal": v[7]}
+
+    out, raw, probes = {}, {}, {}
     for n in (lo, hi):
-        legs = []
+        legs, legprobes = [], []
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        GRAFT_HEADLINE_ONLY="1", GRAFT_BENCH_ROWS=str(n_rows),
                        GRAFT_HEADLINE_REPEATS="1")
+            s0 = _cpu_sample()
             proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                   env=env, capture_output=True, text=True,
                                   check=True)
+            s1 = _cpu_sample()
+            dt = max(1, s1["total"] - s0["total"])
+            legprobes.append({
+                "steal_pct": round(100 * (s1["steal"] - s0["steal"]) / dt, 2),
+                "idle_pct": round(100 * (s1["idle"] - s0["idle"]) / dt, 2)})
             legs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
             time.sleep(5)  # let the previous cluster's workers fully exit
         out[n] = min(legs, key=lambda d: d["value"])
         raw[n] = [d["value"] for d in legs]
+        probes[n] = legprobes
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     thr_lo, thr_hi = out[lo]["images_per_sec"], out[hi]["images_per_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
@@ -193,6 +209,7 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
         "sec_lo": t_lo, "sec_hi": t_hi,
         "images_per_sec_lo": thr_lo, "images_per_sec_hi": thr_hi,
         "raw_legs_sec": raw,
+        "cpu_probe_per_leg": probes,
         "repeats": repeats,
         "sf": out[hi]["sf"],
     }

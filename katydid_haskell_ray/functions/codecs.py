@@ -6,11 +6,14 @@ dependency-free codecs for the formats the synthetic table uses:
 - PNG:  real encoder (8-bit RGB, filter 0) + real decoder (filters 0-4),
         via zlib.  Enough for bit-exact round-trips and corruption checks.
 - BMP:  real encoder/decoder (24bpp, bottom-up, BI_RGB).
-- JPEG: **deterministic fake** (see below) — a stand-in container with JPEG
-        magic bytes wrapping raw RGB.  Real JPEG entropy decode is stubbed
-        because no codec library is available in this environment; the
-        Ray-side plumbing (schema, actor stage, PSNR check) is real and will
-        work unchanged once a real decoder is plugged in.
+- JPEG: REAL baseline sequential codec (functions/jpeg.py — ITU T.81
+        DCT + Annex-K quant/Huffman tables, byte stuffing, JFIF): the
+        engine's lossy format, so the PSNR>=40dB round-trip invariant
+        exercises genuine quantization loss.  ``decode_jpeg_batch``
+        vectorizes the entropy pass across a whole batch of streams
+        (the DecodeValidator hot path); ``jpeg_roundtrip`` skips the
+        bijective Huffman stage for a bit-identical round-trip at a
+        fraction of the cost.
 
 These play the role the reference's binary parser plays for protobuf
 (/root/reference/src/Data/Katydid/Parser/Protobuf/Protobuf.hs:165-293):
@@ -29,10 +32,10 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 JPEG_MAGIC = b"\xff\xd8\xff"
 
-# Marker for the deterministic fake JPEG payload (NOT a real JPEG scan).
-_FAKE_JPEG_TAG = b"KHRFAKE0"
-
-_JPEG_NOISE_CACHE: dict = {}
+# encode quality for the engine's jpeg writes: highest IJG step whose
+# worst-case round-trip PSNR over the adversarial sawtooth fixture still
+# clears the 40 dB gate with margin (measured 43.2 dB; q95 measured 35.3)
+JPEG_QUALITY = 98
 
 
 class DecodeError(ValueError):
@@ -192,71 +195,56 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# "JPEG" — deterministic fake (STUB for a real libjpeg decode)
+# JPEG — real baseline sequential codec (functions/jpeg.py)
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg_stub(arr: np.ndarray) -> bytes:
-    """Deterministic FAKE jpeg: JPEG SOI/APP0 magic + tagged raw RGB + EOI.
-
-    This is NOT a real JPEG entropy coder — the environment has no codec
-    library.  It exists so the decode-validation stage and the PSNR≥40dB
-    per-row invariant (BASELINE.json input_hint) have a lossy-format-shaped
-    payload to exercise; swap in a real encoder by replacing this function.
-    The payload deterministically perturbs pixels by ±1 to emulate lossy
-    round-trip error (PSNR ~48dB, above the 40dB gate).
-    """
-    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
-        raise ValueError("encode_jpeg_stub expects (h, w, 3) uint8")
-    h, w, _ = arr.shape
-    # deterministic ±1 "quantization noise" keyed on pixel coordinates
-    # (the checkerboard depends only on the size: cache per (h, w))
-    delta = _JPEG_NOISE_CACHE.get((h, w))
-    if delta is None:
-        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        delta = (((xx + yy) % 2) - ((xx + yy + 1) % 2)).astype(np.int16)[:, :, None]
-        _JPEG_NOISE_CACHE[(h, w)] = delta
-    lossy = np.clip(arr.astype(np.int16) + delta, 0, 255)
-    body = zlib.compress(lossy.astype(np.uint8).tobytes(), 1)
-    return (
-        JPEG_MAGIC
-        + b"\xe0"
-        + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-        + _FAKE_JPEG_TAG
-        + struct.pack(">II", w, h)
-        + body
-        + b"\xff\xd9"
-    )
+def encode_jpeg(arr: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
+    """(h, w, 3) uint8 -> baseline JFIF bytes (4:4:4, Annex-K tables)."""
+    from katydid_haskell_ray.functions import jpeg as _J
+    return _J.encode_baseline(arr, quality=quality)
 
 
-def decode_jpeg_stub(data: bytes) -> np.ndarray:
-    """Decode the deterministic fake jpeg produced by :func:`encode_jpeg_stub`.
-
-    STUB: a real deployment replaces this with libjpeg-turbo via Pillow/cv2.
-    """
-    if not data.startswith(JPEG_MAGIC):
-        raise DecodeError("bad JPEG magic")
-    tag_at = data.find(_FAKE_JPEG_TAG)
-    if tag_at < 0 or not data.endswith(b"\xff\xd9"):
-        raise DecodeError("real JPEG decode not available in this environment (stub)")
-    off = tag_at + len(_FAKE_JPEG_TAG)
-    w, h = struct.unpack_from(">II", data, off)
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8; DecodeError on corrupt or
+    non-baseline (progressive/arithmetic/subsampled) streams."""
+    from katydid_haskell_ray.functions import jpeg as _J
     try:
-        raw = zlib.decompress(data[off + 8 : -2])
-    except zlib.error as e:
-        raise DecodeError(f"bad fake-jpeg payload: {e}") from e
-    if len(raw) != w * h * 3:
-        raise DecodeError("bad fake-jpeg payload size")
-    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+        return _J.decode_baseline(data)
+    except _J.JpegError as e:
+        raise DecodeError(str(e)) from e
+
+
+def decode_jpeg_batch(datas: list) -> list:
+    """Decode many jpegs with the SIMD-across-streams entropy pass; each
+    slot is an ndarray or a DecodeError (per-row verdicts, never a batch
+    failure) — the DecodeValidator fast path."""
+    from katydid_haskell_ray.functions import jpeg as _J
+    out = _J.decode_baseline_batch(datas, errors="return")
+    return [DecodeError(str(r)) if isinstance(r, Exception) else r
+            for r in out]
+
+
+def jpeg_roundtrip(arr: np.ndarray, quality: int = JPEG_QUALITY) -> np.ndarray:
+    """decode(encode(arr)) pixels without the bijective entropy stage —
+    bit-identical (tested) and ~20x cheaper; the PSNR round-trip check's
+    hot path."""
+    from katydid_haskell_ray.functions import jpeg as _J
+    return _J.lossy_roundtrip(arr, quality=quality)
+
+
+def jpeg_roundtrip_batch(arrs: list, quality: int = JPEG_QUALITY) -> list:
+    """:func:`jpeg_roundtrip` for many images in one DCT pass."""
+    from katydid_haskell_ray.functions import jpeg as _J
+    return _J.lossy_roundtrip_batch(arrs, quality=quality)
 
 
 # ---------------------------------------------------------------------------
 # dispatch + checks
 # ---------------------------------------------------------------------------
 
-ENCODERS = {"png": encode_png, "bmp": encode_bmp, "jpeg": encode_jpeg_stub}
-DECODERS = {"png": decode_png, "bmp": decode_bmp, "jpeg": decode_jpeg_stub}
+ENCODERS = {"png": encode_png, "bmp": encode_bmp, "jpeg": encode_jpeg}
+DECODERS = {"png": decode_png, "bmp": decode_bmp, "jpeg": decode_jpeg}
 LOSSY_FMTS = {"jpeg"}
 
 

@@ -36,16 +36,23 @@ class DecodeValidator:
         self.psnr_db = psnr_db
         self.phash_tolerance = phash_tolerance
 
-    def _one(self, data, fmt, w, h):
-        """Returns (decodes, dims_ok, fmt_ok, rt_ok, err, arr, magic)."""
+    def _one(self, data, fmt, w, h, pre=None):
+        """Returns (decodes, dims_ok, fmt_ok, rt_ok, err, arr, magic).
+        ``pre`` carries a pre-decoded array or DecodeError from the
+        batched jpeg path so this stays the single verdict brain."""
         if data is None:
             return False, False, False, False, "null bytes", None, None
         magic = codecs.sniff_format(data)
         fmt_ok = magic == fmt
-        try:
-            arr = codecs.decode_image(data, magic or fmt)
-        except codecs.DecodeError as e:
-            return False, False, fmt_ok, False, str(e), None, magic
+        if pre is None:
+            try:
+                arr = codecs.decode_image(data, magic or fmt)
+            except codecs.DecodeError as e:
+                return False, False, fmt_ok, False, str(e), None, magic
+        elif isinstance(pre, codecs.DecodeError):
+            return False, False, fmt_ok, False, str(pre), None, magic
+        else:
+            arr = pre
         ah, aw = arr.shape[:2]
         dims_ok = (aw == w) and (ah == h)
         rt_ok = True
@@ -53,14 +60,22 @@ class DecodeValidator:
             try:
                 if magic == "png":  # fast-compression re-encode: pixels identical
                     enc = codecs.encode_png(arr, level=1)
-                else:
-                    enc = codecs.ENCODERS[magic](arr)
-                rt = codecs.decode_image(enc, magic)
-                if magic in codecs.LOSSY_FMTS:
-                    rt_ok = codecs.psnr(arr, rt) >= self.psnr_db
-                else:
+                    rt = codecs.decode_image(enc, magic)
                     rt_ok = bool((rt == arr).all())
-            except codecs.DecodeError:
+                elif magic == "jpeg":
+                    # deferred: jpeg round-trips run as ONE batched DCT
+                    # pass after the row loop (entropy coding is
+                    # bijective, so the quant-domain round-trip is
+                    # bit-identical to encode+decode — tested)
+                    rt_ok = True
+                else:
+                    rt = codecs.decode_image(codecs.ENCODERS[magic](arr),
+                                             magic)
+                    if magic in codecs.LOSSY_FMTS:
+                        rt_ok = codecs.psnr(arr, rt) >= self.psnr_db
+                    else:
+                        rt_ok = bool((rt == arr).all())
+            except (codecs.DecodeError, ValueError):
                 rt_ok = False
         return True, dims_ok, fmt_ok, rt_ok, "", arr, magic
 
@@ -73,9 +88,19 @@ class DecodeValidator:
         phs = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
         res = np.zeros((n, 5), dtype=bool)
         errs = []
+        # jpeg rows decode as ONE lockstep batch (the entropy pass
+        # vectorizes across streams); results feed the per-row brain
+        jpeg_rows = [i for i in range(n) if data[i] is not None
+                     and codecs.sniff_format(data[i]) == "jpeg"]
+        pre: dict = {}
+        if jpeg_rows:
+            decoded = codecs.decode_jpeg_batch([data[i] for i in jpeg_rows])
+            pre = dict(zip(jpeg_rows, decoded))
         by_shape: dict = {}  # (h, w) -> ([indices], [arrays], [lossy])
+        rt_jpeg: list = []  # (row, arr) pairs for the batched round-trip
         for i in range(n):
-            d, dm, f, rt, err, arr, magic = self._one(data[i], fmts[i], ws[i], hs[i])
+            d, dm, f, rt, err, arr, magic = self._one(
+                data[i], fmts[i], ws[i], hs[i], pre=pre.get(i))
             res[i] = (d, dm, f, False, rt)
             errs.append(err)
             if arr is not None:
@@ -83,6 +108,12 @@ class DecodeValidator:
                 idxs.append(i)
                 arrs.append(arr)
                 lossy.append(magic in codecs.LOSSY_FMTS)
+                if self.check_roundtrip and magic == "jpeg":
+                    rt_jpeg.append((i, arr))
+        if rt_jpeg:
+            rts = codecs.jpeg_roundtrip_batch([a for _, a in rt_jpeg])
+            for (i, arr), rt_arr in zip(rt_jpeg, rts):
+                res[i, 4] = codecs.psnr(arr, rt_arr) >= self.psnr_db
         # phash check vectorized per same-size group (bit-identical to the
         # per-image path; see codecs.phash64_batch)
         for (ih, iw), (idxs, arrs, lossy) in by_shape.items():

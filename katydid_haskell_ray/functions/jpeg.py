@@ -119,12 +119,16 @@ AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA]
 
-# orthonormal 8-point DCT-II matrix: F = C f C^T, f = C^T F C
+# orthonormal 8-point DCT-II matrix: F = C f C^T, f = C^T F C.
+# Kept float32 so every einsum below runs single-precision end to end
+# (a float64 matrix silently upcasts the whole block tensor); all encode/
+# decode/round-trip paths share it, so they stay bit-identical.
 _C = np.zeros((8, 8))
 for _u in range(8):
     for _x in range(8):
         _C[_u, _x] = np.cos((2 * _x + 1) * _u * np.pi / 16) * \
             (np.sqrt(0.125) if _u == 0 else 0.5)
+_C = _C.astype(np.float32)
 
 
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
@@ -213,7 +217,10 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     # one cheap pass instead of .round()'s banker's rint (every decode
     # path shares this function, so they stay bit-identical to each
     # other)
-    out = np.stack([r, g, b], axis=-1)
+    out = np.empty(ycc.shape, dtype=np.float32)
+    out[..., 0] = r
+    out[..., 1] = g
+    out[..., 2] = b
     np.clip(out, 0.0, 255.0, out=out)
     out += 0.5
     return out.astype(np.uint8)
@@ -704,13 +711,18 @@ def _decode_entropy_batch(parsed: list[_Parsed]):
     """
     n = len(parsed)
     luts = _np_luts()
-    # merged LUT axis: (is_dc << 1) | is_chroma
-    sym_all = np.stack([luts["ac_sym"][0], luts["ac_sym"][1],
-                        luts["dc_sym"][0], luts["dc_sym"][1]]) \
-        .astype(np.int64)
-    len_all = np.stack([luts["ac_len"][0], luts["ac_len"][1],
-                        luts["dc_len"][0], luts["dc_len"][1]]) \
-        .astype(np.int64)
+    # merged LUT axis: (is_dc << 1) | is_chroma; symbol (<=0xFA) and code
+    # length pack into one int16 gather: entry = (len << 8) | sym
+    lut_all = luts.get("packed")
+    if lut_all is None:
+        sym_all = np.stack([luts["ac_sym"][0], luts["ac_sym"][1],
+                            luts["dc_sym"][0], luts["dc_sym"][1]]) \
+            .astype(np.int64)
+        len_all = np.stack([luts["ac_len"][0], luts["ac_len"][1],
+                            luts["dc_len"][0], luts["dc_len"][1]]) \
+            .astype(np.int64)
+        lut_all = luts["packed"] = ((len_all << 8) | sym_all) \
+            .astype(np.int16)
 
     n_mcu_full = np.array([(-(-p.h // 8)) * (-(-p.w // 8)) for p in parsed],
                           dtype=np.int64)
@@ -743,19 +755,26 @@ def _decode_entropy_batch(parsed: list[_Parsed]):
         # bounds until it is dropped below ----
         need = navail < 27
         while need.any():
-            acc[need] = (acc[need] << 8) \
-                | buf[orig[need], np.minimum(bytepos[need], maxlen - 1)]
-            bytepos[need] += 1
-            navail[need] += 8
+            # two bytes per pass (typical consumption is 12-20 bits, so
+            # one pass usually suffices); reading ahead is harmless and
+            # corrupt overruns stay clamped until dropped below
+            pos = np.minimum(bytepos[need], maxlen - 2)
+            lane = orig[need]
+            acc[need] = (acc[need] << 16) \
+                | (buf[lane, pos].astype(np.int64) << 8) \
+                | buf[lane, pos + 1]
+            bytepos[need] += 2
+            navail[need] += 16
             need = navail < 27
-        drop = bytepos > slen + 7  # consumed past scan + lookahead slack
+        drop = bytepos > slen + 8  # consumed past scan + lookahead slack
 
         # ---- one Huffman symbol everywhere ----
         is_dc = k == 0
         ti = (is_dc.astype(np.int64) << 1) | (comp != 0)
         peek = (acc >> (navail - 16)) & 0xFFFF
-        sym = sym_all[ti, peek]
-        ln = len_all[ti, peek]
+        e = lut_all[ti, peek].astype(np.int64)
+        sym = e & 0xFF
+        ln = e >> 8
         drop |= ln == 0  # invalid huffman code
         navail -= ln
 
@@ -904,52 +923,44 @@ def lossy_roundtrip(arr: np.ndarray, quality: int = 92) -> np.ndarray:
 def lossy_roundtrip_batch(arrs: list[np.ndarray],
                           quality: int = 92) -> list[np.ndarray]:
     """:func:`lossy_roundtrip` for many images at once: every image's
-    pixels color-convert in ONE pass, every block runs in ONE luminance
-    and ONE chrominance DCT/quant/IDCT pass, and the final color
-    conversion is block-level (bit-identical per block — the einsum and
-    per-pixel transforms are element-independent), so per-image work
-    collapses to the reshape.  The DecodeValidator's round-trip hot
-    path."""
+    pixels color-convert in ONE pass, and ALL blocks of ALL channels run
+    one forward + one inverse DCT einsum with the per-channel quant
+    tables stacked on a trailing axis (the contraction is per-block /
+    per-channel independent, so results stay bit-identical — tested).
+    Per-image work collapses to the blocking/reassembly reshape.  The
+    DecodeValidator's round-trip hot path."""
     if not arrs:
         return []
     qt_l, qt_c = _quality_tables(quality)
+    qt3 = np.stack([qt_l, qt_c, qt_c], axis=-1).astype(np.float32)  # (8,8,3)
     # one rgb->ycc pass over every pixel of every image
     flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
     ycc_flat = _rgb_to_ycbcr(flat)
-    px_counts = [a.shape[0] * a.shape[1] for a in arrs]
     offs = np.zeros(len(arrs) + 1, dtype=np.int64)
-    np.cumsum(px_counts, out=offs[1:])
-    lum, chroma, metas = [], [], []
+    np.cumsum([a.shape[0] * a.shape[1] for a in arrs], out=offs[1:])
+    blocks, metas = [], []
     for j, arr in enumerate(arrs):
         h, w = arr.shape[:2]
         ycc = ycc_flat[offs[j]:offs[j + 1]].reshape(h, w, 3)
-        bl, by, bx = _to_blocks(ycc[..., 0])
-        b1, _, _ = _to_blocks(ycc[..., 1])
-        b2, _, _ = _to_blocks(ycc[..., 2])
-        lum.append(bl)
-        chroma.append(b1)
-        chroma.append(b2)
-        metas.append((h, w, by, bx, bl.shape[0]))
-    L = np.concatenate(lum)
-    C2 = np.concatenate(chroma)
-    pl = _dequant_idct(_fdct_quant(L, qt_l), qt_l)
-    pc = _dequant_idct(_fdct_quant(C2, qt_c), qt_c)
-    # gather cb/cr back into lum block order, then ONE block-level color
-    # conversion (padding pixels convert too and are cropped after —
-    # per-pixel math, so kept pixels are unaffected)
-    nb_arr = np.array([m[4] for m in metas], dtype=np.int64)
-    co = np.zeros(len(metas) + 1, dtype=np.int64)
-    np.cumsum(2 * nb_arr, out=co[1:])
-    cb_idx = np.concatenate([np.arange(co[j], co[j] + nb_arr[j])
-                             for j in range(len(metas))])
-    cr_idx = cb_idx + np.repeat(nb_arr, nb_arr)
-    rgb = _ycbcr_to_rgb(np.stack([pl, pc[cb_idx], pc[cr_idx]], axis=-1))
+        ph, pw = -h % 8, -w % 8
+        if ph or pw:
+            ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        hh, ww = ycc.shape[:2]
+        by, bx = hh // 8, ww // 8
+        blocks.append(ycc.reshape(by, 8, bx, 8, 3)
+                      .transpose(0, 2, 1, 3, 4).reshape(by * bx, 8, 8, 3))
+        metas.append((h, w, by, bx, by * bx))
+    B = np.concatenate(blocks) - 128.0
+    F = np.einsum("ux,nxyc,vy->nuvc", _C, B, _C, optimize=True)
+    zz = np.round(F / qt3).astype(np.int32)
+    Fq = zz.astype(np.float32) * qt3
+    f = np.einsum("xu,nuvc,yv->nxyc", _C.T, Fq, _C.T, optimize=True) + 128.0
+    rgb = _ycbcr_to_rgb(f)  # (T, 8, 8, 3) uint8
     out = []
     lo = 0
     for h, w, by, bx, nb in metas:
-        blk = rgb[lo:lo + nb]
-        img = blk.reshape(by, bx, 8, 8, 3).transpose(0, 2, 1, 3, 4) \
-            .reshape(by * 8, bx * 8, 3)
+        img = rgb[lo:lo + nb].reshape(by, bx, 8, 8, 3) \
+            .transpose(0, 2, 1, 3, 4).reshape(by * 8, bx * 8, 3)
         out.append(np.ascontiguousarray(img[:h, :w]))
         lo += nb
     return out

@@ -164,6 +164,12 @@ def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]
     hit = _DEC_LUTS.get(key)
     if hit is not None:
         return hit
+    if len(_DEC_LUTS) >= 16:
+        # foreign streams can each carry distinct custom DHTs (~1 MB of
+        # LUT per table); cap the cache so adversarial corpora cannot
+        # grow a long-lived decode actor unboundedly (FIFO eviction —
+        # the standard Annex-K tables re-enter on first use anyway)
+        _DEC_LUTS.pop(next(iter(_DEC_LUTS)))
     sym = [0] * 65536
     length = [0] * 65536
     code = 0
@@ -402,6 +408,18 @@ class _Parsed:
 
 
 def _parse(data: bytes) -> _Parsed:
+    """Header+scan parse with the fail-closed contract: EVERY malformed
+    stream surfaces as JpegError (struct/index errors from short segment
+    bodies included), never a foreign exception type."""
+    try:
+        return _parse_inner(data)
+    except JpegError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise JpegError(f"malformed segment: {e}") from e
+
+
+def _parse_inner(data: bytes) -> _Parsed:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegError("bad JPEG SOI")
     pos = 2
@@ -606,6 +624,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 if ln == 0:
                     raise JpegError("invalid huffman code")
                 navail -= ln
+                acc &= (1 << navail) - 1  # keep acc O(1) bits, not O(scan)
                 if s:
                     while navail < s:
                         acc = (acc << 8) | scan[bytepos]
@@ -613,6 +632,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
                         navail += 8
                     v = (acc >> (navail - s)) & ((1 << s) - 1)
                     navail -= s
+                    acc &= (1 << navail) - 1
                     if v < (1 << (s - 1)):
                         v -= (1 << s) - 1
                     preds[ci] += v
@@ -630,6 +650,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
                     if ln == 0:
                         raise JpegError("invalid huffman code")
                     navail -= ln
+                    acc &= (1 << navail) - 1
                     s = rs & 15
                     if s == 0:
                         if rs == 0xF0:
@@ -645,6 +666,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
                         navail += 8
                     v = (acc >> (navail - s)) & ((1 << s) - 1)
                     navail -= s
+                    acc &= (1 << navail) - 1
                     if v < (1 << (s - 1)):
                         v -= (1 << s) - 1
                     blk[m, k] = v

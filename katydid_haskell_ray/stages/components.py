@@ -64,6 +64,7 @@ class _CCPartition:
         self.labels: np.ndarray | None = None
         self.indptr: np.ndarray | None = None  # CSR over self.nodes
         self.nbrs: np.ndarray | None = None
+        self._local_pending = False  # local fixpoint hit its pass cap
 
     def add_edges(self, node: np.ndarray, nbr: np.ndarray) -> int:
         self._node_chunks.append(np.asarray(node, dtype=np.int64))
@@ -108,15 +109,22 @@ class _CCPartition:
         """Vectorized in-actor min-label passes until stable (or the pass
         cap): a label crosses the entire locally-connected region in one
         global round instead of one edge per round — the difference
-        between O(diameter) and O(cross-partition diameter) rounds."""
+        between O(diameter) and O(cross-partition diameter) rounds.
+
+        If the cap trips, ``_local_pending`` records it so the next
+        ``step`` RESUMES the fixpoint even with an empty inbox — without
+        this, a deep locally-resident chain would read as globally
+        converged (changed==0, no messages) with wrong labels."""
         imax = np.iinfo(np.int64).max
         for _ in range(self._LOCAL_PASS_CAP):
             g = np.where(self.nbr_own, self.labels[self.nbr_idx], imax)
             cand = np.minimum.reduceat(g, self.indptr[:-1])
             new = np.minimum(self.labels, cand)
             if np.array_equal(new, self.labels):
+                self._local_pending = False
                 return
             self.labels = new
+        self._local_pending = True
 
     def _send(self, changed_idx: np.ndarray):
         """Changed nodes broadcast their new label to their REMOTE
@@ -168,17 +176,19 @@ class _CCPartition:
 
     def step(self, *inbox):
         """Merge incoming (node, candidate) deltas, run the local
-        fixpoint; changed nodes re-send to remote neighbors."""
+        fixpoint; changed nodes re-send to remote neighbors.  An empty
+        inbox still resumes a cap-tripped local fixpoint."""
         msgs = [m for m in inbox if m is not None and m.shape[1]]
-        if not msgs:
+        if not msgs and not self._local_pending:
             return (0, *([_EMPTY_MSG] * self.n_parts))
-        dst = np.concatenate([m[0] for m in msgs])
-        val = np.concatenate([m[1] for m in msgs])
-        idx = np.searchsorted(self.nodes, dst)
-        # every message targets an owned node (senders route by the same
-        # hash), so idx is in range and exact
         entry = self.labels.copy()
-        np.minimum.at(self.labels, idx, val)
+        if msgs:
+            dst = np.concatenate([m[0] for m in msgs])
+            val = np.concatenate([m[1] for m in msgs])
+            idx = np.searchsorted(self.nodes, dst)
+            # every message targets an owned node (senders route by the
+            # same hash), so idx is in range and exact
+            np.minimum.at(self.labels, idx, val)
         self._local_fixpoint()
         changed = np.flatnonzero(self.labels < entry)
         return (len(changed), *self._send(changed))

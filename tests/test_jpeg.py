@@ -140,6 +140,55 @@ def test_validator_anomaly_classes_real_jpeg():
     assert fails("check_roundtrip") == [3]        # only the undecodable row
 
 
+def test_malformed_segment_bodies_fail_closed():
+    """Short/truncated segment bodies (DRI, SOF, SOS) raise JpegError /
+    DecodeError, never a bare struct.error or IndexError (review
+    finding: ImageOps catches only DecodeError, so a foreign exception
+    type would crash the whole actor batch)."""
+    bads = [
+        b"\xff\xd8\xff\xdd\x00\x02\xff\xd9",          # DRI with no body
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00\xff\xd9",  # SOF cut mid-dims
+        b"\xff\xd8\xff\xda\x00\x03\x01\xff\xd9",      # SOS short comps
+        b"\xff\xd8\xff\xc4\x00\x04\x00\x01\xff\xd9",  # DHT short bits
+    ]
+    for bad in bads:
+        with pytest.raises(J.JpegError):
+            J.decode_baseline(bad)
+        with pytest.raises(C.DecodeError):
+            C.decode_jpeg(bad)
+
+
+def test_scalar_decode_linear_in_scan_length():
+    """The scalar walker masks its bit accumulator, so decode time is
+    ~linear in scan bytes (review finding: the unmasked accumulator made
+    every shift O(bits-read), i.e. quadratic — 6.7s for one 256px
+    image)."""
+    import time
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, size=(256, 256, 3)).astype(np.uint8)
+    d = J.encode_baseline(arr, quality=C.JPEG_QUALITY)
+    t0 = time.perf_counter()
+    out = J.decode_baseline(d)
+    el = time.perf_counter() - t0
+    assert out.shape == arr.shape
+    assert el < 2.0, f"256px decode took {el:.1f}s (quadratic regression?)"
+
+
+def test_decode_lut_cache_bounded():
+    """The per-DHT LUT cache evicts past 16 entries (foreign adversarial
+    tables must not grow a long-lived decode actor unboundedly)."""
+    J._DEC_LUTS.clear()
+    for i in range(24):
+        # distinct single-symbol tables: one 2-bit code for value i
+        J._decode_lut([0, 1] + [0] * 14, [i])
+    assert len(J._DEC_LUTS) <= 16
+    # standard tables still round-trip fine after evictions
+    arr = _corpus(1)[0]
+    assert np.array_equal(J.decode_baseline(J.encode_baseline(arr)),
+                          J.decode_baseline_batch(
+                              [J.encode_baseline(arr)])[0])
+
+
 def test_quality_tables_ijg_scaling():
     """IJG quality scaling endpoints: q=50 returns the Annex-K base
     tables; q=100 all-ones (lossless quantization)."""

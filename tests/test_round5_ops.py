@@ -117,6 +117,33 @@ def test_connected_components_chain_multi_partition(ray_session):
     assert (tri_lab["label"] == 1000).all()
 
 
+def test_connected_components_deep_local_chain(ray_session):
+    """A chain resident in ONE partition deeper than the local pass cap
+    must still converge (review finding: a cap-tripped fixpoint with no
+    outgoing messages used to read as global convergence with wrong
+    labels).  Covers n_buckets=1 and a same-residue chain at
+    n_buckets=4."""
+    import ray.data
+    from katydid_haskell_ray.stages import components as C
+    from katydid_haskell_ray.stages.components import connected_components
+
+    n = 3 * C._CCPartition._LOCAL_PASS_CAP  # 3x the cap
+    a = np.arange(n - 1, dtype=np.int64)
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(a), "b": pa.array(a + 1)}))
+    out = connected_components(edges, a_col="a", b_col="b",
+                               n_buckets=1, max_rounds=50).to_pandas()
+    assert (out["label"] == 0).all()
+
+    # every node ≡ 0 mod 4 -> all land in the same partition of 4
+    a4 = np.arange(0, 4 * n, 4, dtype=np.int64)
+    edges4 = ray.data.from_arrow(pa.table({
+        "a": pa.array(a4[:-1]), "b": pa.array(a4[1:])}))
+    out4 = connected_components(edges4, a_col="a", b_col="b",
+                                n_buckets=4, max_rounds=50).to_pandas()
+    assert (out4["label"] == 0).all()
+
+
 def test_connected_components_duplicate_and_self_edges(ray_session):
     """Duplicate edge rows and self-loops neither crash nor duplicate
     output nodes (the finalize dedup that also makes delivery retries

@@ -716,6 +716,41 @@ def _np_luts():
     return _NP_LUTS
 
 
+def packed_lut() -> np.ndarray:
+    """The four Annex-K peek-16 tables merged into ONE ``(4, 65536)``
+    int16 gather — entry ``(code_len << 8) | symbol``, first axis
+    ``(is_dc << 1) | is_chroma``.  This is 512 KB of read-only,
+    gather-hot state: the unit the decode pipeline broadcasts through
+    the Ray object store (see ``stages.decode.shared_jpeg_lut_ref``) so
+    every worker on a node maps the SAME physical pages instead of each
+    building a private copy — one replica per node at cluster scale,
+    one LLC-resident copy per box instead of one per worker locally."""
+    lut_all = _NP_LUTS.get("packed")
+    if lut_all is None:
+        luts = _np_luts()
+        sym_all = np.stack([luts["ac_sym"][0], luts["ac_sym"][1],
+                            luts["dc_sym"][0], luts["dc_sym"][1]]) \
+            .astype(np.int64)
+        len_all = np.stack([luts["ac_len"][0], luts["ac_len"][1],
+                            luts["dc_len"][0], luts["dc_len"][1]]) \
+            .astype(np.int64)
+        lut_all = _NP_LUTS["packed"] = ((len_all << 8) | sym_all) \
+            .astype(np.int16)
+    return lut_all
+
+
+def set_packed_lut(arr: np.ndarray) -> None:
+    """Inject a pre-built packed LUT (typically a read-only plasma-backed
+    view from ``ray.get``) so this process gathers from shared pages.
+    The table is a pure function of the Annex-K constants, so injection
+    is bit-identical to the local build (tested); every decode path only
+    ever reads it."""
+    if arr.shape != (4, 65536) or arr.dtype != np.int16:
+        raise ValueError(f"packed LUT must be (4, 65536) int16, got "
+                         f"{arr.shape} {arr.dtype}")
+    _NP_LUTS["packed"] = arr
+
+
 def _decode_entropy_batch(parsed: list[_Parsed]):
     """Entropy-decode many standard-table 3-component baseline scans in
     lockstep: one numpy step decodes ONE Huffman symbol in EVERY still-
@@ -732,19 +767,9 @@ def _decode_entropy_batch(parsed: list[_Parsed]):
     walker for its exact error classification.
     """
     n = len(parsed)
-    luts = _np_luts()
     # merged LUT axis: (is_dc << 1) | is_chroma; symbol (<=0xFA) and code
     # length pack into one int16 gather: entry = (len << 8) | sym
-    lut_all = luts.get("packed")
-    if lut_all is None:
-        sym_all = np.stack([luts["ac_sym"][0], luts["ac_sym"][1],
-                            luts["dc_sym"][0], luts["dc_sym"][1]]) \
-            .astype(np.int64)
-        len_all = np.stack([luts["ac_len"][0], luts["ac_len"][1],
-                            luts["dc_len"][0], luts["dc_len"][1]]) \
-            .astype(np.int64)
-        lut_all = luts["packed"] = ((len_all << 8) | sym_all) \
-            .astype(np.int16)
+    lut_all = packed_lut()
 
     n_mcu_full = np.array([(-(-p.h // 8)) * (-(-p.w // 8)) for p in parsed],
                           dtype=np.int64)

@@ -1197,8 +1197,10 @@ def images_decode_checks(sf_dir: str):
     ds = ray.data.read_parquet(
         images_parquet(sf_dir),
         columns=["image_id", "bytes", "w", "h", "fmt", "phash"])
+    from katydid_haskell_ray.stages.decode import shared_jpeg_lut_ref
     return ds.map_batches(
         DecodeValidator, batch_format="pyarrow", batch_size=512,
+        fn_constructor_kwargs={"lut_ref": shared_jpeg_lut_ref()},
         concurrency=_AC(), num_cpus=1,
     ).select_columns(["image_id", "check_decodes", "check_dims",
                       "check_fmt_magic", "check_phash"])

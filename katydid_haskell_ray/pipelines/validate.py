@@ -153,14 +153,16 @@ def _input_files(path: str) -> list[str]:
 _DECODER_CACHE: dict = {}
 
 
-def _decode_fn(check_roundtrip: bool):
+def _decode_fn(check_roundtrip: bool, lut_ref=None):
     """Task-based decode stage; the validator is cached once per worker
-    process (the stateful-setup-amortization without an actor pool)."""
+    process (the stateful-setup-amortization without an actor pool).
+    ``lut_ref`` is the node-shared jpeg Huffman LUT (see
+    ``stages.decode.shared_jpeg_lut_ref``)."""
     def f(batch):
         dv = _DECODER_CACHE.get(check_roundtrip)
         if dv is None:
             dv = _DECODER_CACHE[check_roundtrip] = DecodeValidator(
-                check_roundtrip=check_roundtrip)
+                check_roundtrip=check_roundtrip, lut_ref=lut_ref)
         return dv(batch)
     return f
 
@@ -226,14 +228,18 @@ def verdict_dataset(images_path, checks=DEFAULT_CHECKS, *,
         # so tasks beat an actor pool — no pool spawn cost, fully elastic.
         # Pass an int to force an actor pool (e.g. a real model-loading
         # decoder would want one).
+        from katydid_haskell_ray.stages.decode import shared_jpeg_lut_ref
         ds = ds.map_batches(
-            _decode_fn(check_roundtrip), batch_format="pyarrow",
+            _decode_fn(check_roundtrip, lut_ref=shared_jpeg_lut_ref()),
+            batch_format="pyarrow",
             batch_size=decode_batch_size,
         )
     else:
+        from katydid_haskell_ray.stages.decode import shared_jpeg_lut_ref
         ds = ds.map_batches(
             DecodeValidator,
-            fn_constructor_kwargs={"check_roundtrip": check_roundtrip},
+            fn_constructor_kwargs={"check_roundtrip": check_roundtrip,
+                                   "lut_ref": shared_jpeg_lut_ref()},
             batch_format="pyarrow", batch_size=decode_batch_size,
             concurrency=decode_concurrency, num_cpus=1,
         )

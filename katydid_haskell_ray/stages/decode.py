@@ -29,12 +29,41 @@ from katydid_haskell_ray.functions import codecs
 from katydid_haskell_ray.state.sketches import hamming_distance64 as _ham
 
 
+_LUT_SHARE: tuple = (None, None)  # (ray job id, ObjectRef)
+
+
+def shared_jpeg_lut_ref():
+    """``ray.put`` the packed jpeg Huffman LUT once per Ray session and
+    return the ObjectRef (None when Ray isn't initialized — callers fall
+    back to a process-local build).  Workers that ``ray.get`` it receive
+    a zero-copy read-only view of the SAME plasma pages, so a node runs
+    one 512 KB gather table total instead of one per worker — the
+    broadcast-once-per-node pattern, and measurably less LLC pressure at
+    high per-box concurrency.  Keyed by job id so a ref from a shut-down
+    session can't leak into the next ``ray.init`` in the same process."""
+    import ray
+    if not ray.is_initialized():
+        return None
+    global _LUT_SHARE
+    key = ray.get_runtime_context().get_job_id()
+    if _LUT_SHARE[0] != key:
+        from katydid_haskell_ray.functions import jpeg as _J
+        _LUT_SHARE = (key, ray.put(_J.packed_lut()))
+    return _LUT_SHARE[1]
+
+
 class DecodeValidator:
     def __init__(self, check_roundtrip: bool = False, psnr_db: float = 40.0,
-                 phash_tolerance: int = 8):
+                 phash_tolerance: int = 8, lut_ref=None):
         self.check_roundtrip = check_roundtrip
         self.psnr_db = psnr_db
         self.phash_tolerance = phash_tolerance
+        if lut_ref is not None:
+            # bind the node-shared Huffman LUT before the first decode;
+            # ray.get of a numpy object is zero-copy from plasma
+            import ray
+            from katydid_haskell_ray.functions import jpeg as _J
+            _J.set_packed_lut(ray.get(lut_ref))
 
     def _one(self, data, fmt, w, h, pre=None):
         """Returns (decodes, dims_ok, fmt_ok, rt_ok, err, arr, magic).

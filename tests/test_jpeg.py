@@ -196,3 +196,50 @@ def test_quality_tables_ijg_scaling():
     assert np.array_equal(l50, J.QT_LUM) and np.array_equal(c50, J.QT_CHROMA)
     l100, c100 = J._quality_tables(100)
     assert (l100 == 1).all() and (c100 == 1).all()
+
+
+def test_packed_lut_shape_and_injection_bit_identical():
+    """packed_lut() is a pure function of the Annex-K constants; injecting
+    a pickled/shared copy (set_packed_lut) leaves batch decode output
+    bit-identical, and a wrong-shaped injection is rejected."""
+    import pickle
+
+    lut = J.packed_lut()
+    assert lut.shape == (4, 65536) and lut.dtype == np.int16
+    datas = [J.encode_baseline(a) for a in _corpus(n=12, step=7)]
+    before = J.decode_baseline_batch(datas)
+    # a serialization round-trip is what a plasma broadcast amounts to:
+    # same values, different (possibly read-only) backing pages
+    shared = pickle.loads(pickle.dumps(lut))
+    shared.setflags(write=False)
+    try:
+        J.set_packed_lut(shared)
+        assert J.packed_lut() is shared
+        after = J.decode_baseline_batch(datas)
+    finally:
+        J.set_packed_lut(lut)
+    for a, b in zip(before, after):
+        assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        J.set_packed_lut(np.zeros((4, 16), dtype=np.int16))
+
+
+def test_shared_jpeg_lut_ref_session_cached(ray_session):
+    """One ray.put per session: the ref is cached (same object returned),
+    ray.get yields a zero-copy view equal to the local build, and the
+    DecodeValidator constructor accepts the ref."""
+    from katydid_haskell_ray.stages.decode import (DecodeValidator,
+                                                   shared_jpeg_lut_ref)
+
+    r1 = shared_jpeg_lut_ref()
+    r2 = shared_jpeg_lut_ref()
+    assert r1 is not None and r1 == r2
+    got = ray_session.get(r1)
+    assert np.array_equal(got, J.packed_lut())
+    local = J.packed_lut()
+    try:
+        DecodeValidator(lut_ref=r1)  # binds the shared pages
+        assert J.packed_lut() is not local  # injected view now active
+        assert np.array_equal(J.packed_lut(), local)
+    finally:
+        J.set_packed_lut(local)

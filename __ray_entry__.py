@@ -87,7 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": Q.revenue_by_region,
         # --- NEW: the flagship composite (entry()'s pipeline, oracled) ---
         "images_verdict_full": Q.images_verdict_full,
-        # --- flagship re-certifications (slots 31-50) ---
+        # --- NEW this round (must appear in an official snapshot once) ---
+        "events_span_interval_join": Q.events_span_interval_join,
+        "user_event_unpivot": Q.user_event_unpivot,
+        # --- flagship re-certifications (to slot 50; the re-certs pushed
+        # past 50 keep their official r01-r04 rows) ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
         "q3_join_revenue": Q.q3_join_revenue,
         "images_verdicts": Q.images_verdicts,
@@ -614,6 +618,34 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
                    COUNT(*) FILTER (event_type = 'view')     AS n_view
             FROM events GROUP BY user_id
+        """,
+        "events_span_interval_join": """
+            -- point-in-interval join: top-8 users' activity spans,
+            -- BETWEEN is inclusive both ends (engine mirrors)
+            WITH ranked AS (
+                SELECT user_id, COUNT(*) AS n, MIN(ts) AS lo, MAX(ts) AS hi
+                FROM events GROUP BY user_id
+                ORDER BY n DESC, user_id LIMIT 8
+            )
+            SELECT r.user_id AS span_user,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types
+            FROM ranked r JOIN events e ON e.ts BETWEEN r.lo AND r.hi
+            GROUP BY r.user_id
+            ORDER BY span_user
+        """,
+        "user_event_unpivot": """
+            -- melt of the pivot shape, INCLUDING zero cells
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 t(event_type) AS (VALUES ('click'), ('error'),
+                                          ('purchase'), ('signup'), ('view')),
+                 c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY user_id, event_type)
+            SELECT u.user_id, t.event_type,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM u CROSS JOIN t
+            LEFT JOIN c ON c.user_id = u.user_id
+                       AND c.event_type = t.event_type
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

@@ -3874,3 +3874,94 @@ def images_phash_components(sf_dir: str):
     bucketed = j.map_batches(K.add_hash_fn("comp_rep"),
                              batch_format="pyarrow")
     return _auto_exchange(bucketed, per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# round-5 continuation: interval join + unpivot
+# ---------------------------------------------------------------------------
+
+
+def events_span_interval_join(sf_dir: str, k: int = 8):
+    """Distributed point-in-interval join (stages.join.interval_join):
+    spans = the top-``k`` users by event count (tie-break user_id) with
+    their [min_ts, max_ts] activity interval; every event joins into
+    every span containing its timestamp (SQL BETWEEN, both ends
+    inclusive), then rolls up per span.
+
+    Scale shape: span selection is a per-user (count, min, max) combiner
+    + one keyed exchange + per-bucket top-k heads, so the driver sees
+    only n_buckets*k candidate rows; the join chunks events by time
+    bucket and replicates the k spans to the chunks they overlap
+    (interval_join docstring has the partitioning argument); the rollup
+    pre-aggregates (span_user, event_type) per block, so the driver
+    finalize sees a k x |types| frame."""
+    from katydid_haskell_ray.stages.join import interval_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us"))
+                      .cast(pa.int64())})
+
+    pts = ds.map_batches(prep, batch_format="pyarrow")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("user_id", sort=False)
+                .agg(n=("ts_us", "size"), lo=("ts_us", "min"),
+                     hi=("ts_us", "max")).reset_index())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gg = (g.groupby("user_id", sort=False)
+              .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+              .reset_index())
+        return gg.sort_values(["n", "user_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    partials = (pts.map_batches(partial, batch_format="pandas")
+                .map_batches(K.add_hash_fn("user_id"),
+                             batch_format="pyarrow"))
+    cand = _auto_exchange(partials, per_bucket).to_pandas()
+    spans = (cand.sort_values(["n", "user_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+             .rename(columns={"user_id": "span_user"})
+             [["span_user", "lo", "hi"]].reset_index(drop=True))
+    spans_ds = ray.data.from_pandas(spans)
+
+    joined = interval_join(
+        pts, spans_ds, value_col="ts_us", lo_col="lo", hi_col="hi",
+        point_cols=["event_type"], interval_cols=["span_user"])
+
+    def part2(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["span_user", "event_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = joined.map_batches(part2, batch_format="pandas").to_pandas()
+    agg = (parts.groupby(["span_user", "event_type"], sort=False)["n"]
+           .sum().reset_index())
+    out = (agg.groupby("span_user", sort=True)
+           .agg(n_events=("n", "sum"), n_types=("event_type", "nunique"))
+           .reset_index())
+    return out.astype({"span_user": np.int64, "n_events": np.int64,
+                       "n_types": np.int64})
+
+
+def user_event_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the user_event_pivot wide frame back to long form,
+    INCLUDING zero cells — the wide->long transform is the operator (a
+    plain (user, type) groupby would drop absent cells).  Distributed:
+    the melt is a per-block kernel over the pivot's exchange output."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = user_event_pivot(sf_dir)
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.melt(id_vars=["user_id"],
+                     value_vars=[f"n_{t}" for t in types],
+                     var_name="event_type", value_name="n")
+        out["event_type"] = out["event_type"].str.slice(2)
+        out["n"] = out["n"].astype(np.int64)
+        return out[["user_id", "event_type", "n"]]
+
+    return wide.map_batches(melt, batch_format="pandas")

@@ -266,3 +266,95 @@ def asof_lookup(ds, *, ts_col: str, timeline: np.ndarray,
         return b.append_column(out_col, pa.array(vals, mask=~ok))
 
     return ds.map_batches(asof, batch_format="pyarrow")
+
+
+def interval_join(points, intervals, *, value_col: str, lo_col: str,
+                  hi_col: str, point_cols: list[str],
+                  interval_cols: list[str], n_buckets: int | None = None):
+    """Distributed point-in-interval join: one output row per (point p,
+    interval i) pair with ``i.lo <= p.value <= i.hi`` (SQL BETWEEN,
+    inclusive both ends).  Values must be numeric (callers normalize
+    timestamps to int64 epoch-us first — the asof_join_keyed convention).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    the observed point-value range splits into ``n_buckets`` equal
+    chunks; every point lands in exactly ONE chunk bucket, while every
+    interval REPLICATES to each bucket it overlaps — so each candidate
+    pair is tested in exactly one bucket and no global dedup pass
+    exists.  Interval replication factor is ceil(len/chunk): long
+    intervals cost their true bucket overlap, which tracks the join's
+    actual output size, not an artifact.  Within a bucket the expansion
+    is output-linear: points argsort once by value, each interval finds
+    its member range with two searchsorteds, and pairs materialize via
+    np.repeat over range offsets — never an all-pairs frame.  Both
+    bucket maps use the same monotone value->bucket function, so
+    f(lo) <= f(v) <= f(hi) whenever lo <= v <= hi (pairs can't be
+    missed across chunk edges).  The range scan is one cheap pass over
+    the already-projected, already-materialized point side (the
+    exchange materializes its input anyway)."""
+    from katydid_haskell_ray.stages.exchange import (bucket_cogroup,
+                                                     resolve_exchange)
+
+    pproj = points.map_batches(
+        lambda b, cols=list(dict.fromkeys(point_cols + [value_col])):
+            b.select(cols),
+        batch_format="pyarrow")
+    pmat, n_buckets, _ = resolve_exchange(pproj, n_buckets)
+    vmin = pmat.min(value_col)
+    vmax = pmat.max(value_col)
+    span = float(vmax - vmin) or 1.0
+    chunk = span / n_buckets
+
+    def _bucket_of(v: np.ndarray) -> np.ndarray:
+        b = np.trunc((v.astype(np.float64) - vmin) / chunk)
+        return np.clip(b, 0, n_buckets - 1).astype(np.int32)
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        return b.append_column("__bucket", pa.array(_bucket_of(v)))
+
+    def replicate_intervals(b: pa.Table) -> pa.Table:
+        cols = list(dict.fromkeys(interval_cols + [lo_col, hi_col]))
+        b = b.select(cols)
+        lo = b.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = b.column(hi_col).to_numpy(zero_copy_only=False)
+        # intervals wholly outside the observed point range match nothing
+        idx = np.flatnonzero((hi >= vmin) & (lo <= vmax) & (hi >= lo))
+        b0 = _bucket_of(lo[idx]).astype(np.int64)
+        b1 = _bucket_of(hi[idx]).astype(np.int64)
+        reps = b1 - b0 + 1
+        rows = np.repeat(idx, reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        buckets = (np.repeat(b0, reps) + off).astype(np.int32)
+        return b.take(pa.array(rows, type=pa.int64())) \
+            .append_column("__bucket", pa.array(buckets))
+
+    pts = pmat.map_batches(tag_points, batch_format="pyarrow")
+    ivs = intervals.map_batches(replicate_intervals, batch_format="pyarrow")
+
+    def per_bucket(pdf: pd.DataFrame, idf: pd.DataFrame) -> pd.DataFrame:
+        # 0-column frame = that side globally empty (exchange convention,
+        # cf. hash_join.merge_bucket); inner semantics -> empty output
+        if pdf.shape[1] == 0 or idf.shape[1] == 0:
+            return pd.DataFrame()
+        if pdf.empty or idf.empty:
+            return pd.concat([pdf[point_cols].iloc[0:0],
+                              idf[interval_cols].iloc[0:0]], axis=1)
+        v = pdf[value_col].to_numpy()
+        order = np.argsort(v, kind="stable")
+        vs = v[order]
+        lo = idf[lo_col].to_numpy()
+        hi = idf[hi_col].to_numpy()
+        start = np.searchsorted(vs, lo, side="left")
+        end = np.searchsorted(vs, hi, side="right")
+        cnt = end - start
+        ii = np.repeat(np.arange(len(idf), dtype=np.int64), cnt)
+        pos = np.arange(int(cnt.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(start, cnt)
+        pi = order[pos]
+        return pd.concat(
+            [pdf[point_cols].iloc[pi].reset_index(drop=True),
+             idf[interval_cols].iloc[ii].reset_index(drop=True)], axis=1)
+
+    return bucket_cogroup(pts, ivs, per_bucket, n_buckets=n_buckets)

@@ -196,3 +196,96 @@ def test_revenue_by_region_branch_agreement(ray_session, tmp_path):
     assert set(w["r_name"]) == {"EAST", "WEST"}  # no NaN group
     assert w.loc[w["r_name"] == "EAST", "revenue_cents"].item() == 1500
     assert int(w["n_orders"].sum()) == 3  # the violating order is dropped
+
+
+def test_interval_join_brute(ray_session):
+    """interval_join == the brute O(N*M) BETWEEN join: inclusive bounds,
+    cross-chunk intervals (n_buckets forced small so spans straddle
+    chunks), each qualifying pair exactly once."""
+    import ray.data
+    from katydid_haskell_ray.stages.join import interval_join
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame({
+        "pid": np.arange(400, dtype=np.int64),
+        "v": rng.integers(0, 1000, 400).astype(np.int64)})
+    lo = rng.integers(-50, 1000, 60).astype(np.int64)
+    ivs = pd.DataFrame({
+        "iid": np.arange(60, dtype=np.int64),
+        "lo": lo,
+        "hi": lo + rng.integers(0, 400, 60).astype(np.int64)})
+
+    got = interval_join(
+        ray.data.from_pandas(pts), ray.data.from_pandas(ivs),
+        value_col="v", lo_col="lo", hi_col="hi",
+        point_cols=["pid"], interval_cols=["iid"],
+        n_buckets=4).to_pandas()
+    got = got.sort_values(["pid", "iid"]).reset_index(drop=True)
+
+    exp = pts.merge(ivs, how="cross")
+    exp = exp[(exp["v"] >= exp["lo"]) & (exp["v"] <= exp["hi"])]
+    exp = exp[["pid", "iid"]].sort_values(["pid", "iid"]) \
+        .reset_index(drop=True)
+    assert got[["pid", "iid"]].astype(np.int64).equals(exp)
+    # no pair duplicated across chunk replicas
+    assert not got.duplicated(["pid", "iid"]).any()
+
+
+def test_interval_join_edges(ray_session):
+    """Boundary semantics: v == lo and v == hi match (BETWEEN); inverted
+    (hi < lo) and wholly-out-of-range intervals match nothing; an empty
+    interval side yields an empty result."""
+    import ray.data
+    from katydid_haskell_ray.stages.join import interval_join
+
+    pts = pd.DataFrame({"pid": np.array([0, 1, 2], dtype=np.int64),
+                        "v": np.array([10, 20, 30], dtype=np.int64)})
+    ivs = pd.DataFrame({
+        "iid": np.array([0, 1, 2, 3], dtype=np.int64),
+        "lo": np.array([10, 30, 25, 100], dtype=np.int64),
+        "hi": np.array([20, 30, 15, 200], dtype=np.int64)})
+    got = interval_join(
+        ray.data.from_pandas(pts), ray.data.from_pandas(ivs),
+        value_col="v", lo_col="lo", hi_col="hi",
+        point_cols=["pid"], interval_cols=["iid"],
+        n_buckets=3).to_pandas()
+    pairs = set(map(tuple, got[["pid", "iid"]].to_numpy()))
+    assert pairs == {(0, 0), (1, 0), (2, 1)}  # inclusive ends; 2,3 empty
+
+    empty = interval_join(
+        ray.data.from_pandas(pts), ray.data.from_pandas(ivs.iloc[0:0]),
+        value_col="v", lo_col="lo", hi_col="hi",
+        point_cols=["pid"], interval_cols=["iid"], n_buckets=3).to_pandas()
+    assert len(empty) == 0
+
+
+def test_user_event_unpivot_zero_cells(ray_session, tmp_path):
+    """The melt keeps zero cells: every user emits exactly 5 rows (one per
+    type), zero-count cells included, and counts match a brute groupby —
+    checked on sf0.001 (dense) AND a synthetic table with guaranteed
+    absent (user, type) cells."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+        "event_type": ["click", "click", "view", "error"],
+        "ts": pd.to_datetime([0, 1, 2, 3], unit="s"),
+        "event_id": np.arange(4, dtype=np.int64),
+        "value": [1.0, 2.0, 3.0, 4.0], "props": ["{}"] * 4,
+    }).to_parquet(tmp_path / "events.parquet")
+
+    for sf, has_zero in ((SF, False), (str(tmp_path), True)):
+        got = _to_pandas(Q.user_event_unpivot(sf))
+        assert (got.groupby("user_id").size() == 5).all()
+        ev = pd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_type"])
+        brute = (ev.groupby(["user_id", "event_type"]).size()
+                 .rename("n").reset_index())
+        m = got.merge(brute, on=["user_id", "event_type"], how="left",
+                      suffixes=("", "_b"))
+        assert (m["n"].to_numpy()
+                == np.nan_to_num(m["n_b"].to_numpy())).all()
+        if has_zero:
+            assert (got["n"] == 0).any()
+            assert got.loc[(got.user_id == 2) & (got.event_type == "click"),
+                           "n"].item() == 0

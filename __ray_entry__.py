@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- NEW this round (must appear in an official snapshot once) ---
         "events_span_interval_join": Q.events_span_interval_join,
         "user_event_unpivot": Q.user_event_unpivot,
+        "images_phash_triangles": Q.images_phash_triangles,
+        "events_user_mode": Q.events_user_mode,
+        "q10_returned_revenue": Q.q10_returned_revenue,
         # --- flagship re-certifications (to slot 50; the re-certs pushed
         # past 50 keep their official r01-r04 rows) ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
@@ -646,6 +649,56 @@ def oracle_sql() -> dict[str, str]:
             FROM u CROSS JOIN t
             LEFT JOIN c ON c.user_id = u.user_id
                        AND c.event_type = t.event_type
+        """,
+        "images_phash_triangles": f"""
+            -- local triangle counts over the Hamming<=3 near-dup graph;
+            -- top 20 fingerprints by triangle participation
+            WITH fp AS (
+                SELECT phash FROM {_IMAGES} GROUP BY phash
+            ), c AS (
+                SELECT phash, j.c AS chunk,
+                       (phash >> (16 * j.c)) & 65535 AS val
+                FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) j(c)
+            ), e AS (
+                SELECT DISTINCT a.phash AS a, b.phash AS b
+                FROM c a JOIN c b
+                  ON a.chunk = b.chunk AND a.val = b.val AND a.phash < b.phash
+                WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), corners AS (
+                SELECT x AS phash FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_tri
+            FROM corners GROUP BY phash
+            ORDER BY n_tri DESC, phash LIMIT 20
+        """,
+        "events_user_mode": """
+            -- exact per-user mode with (count desc, type asc) tie-break
+            SELECT user_id, event_type AS mode_type, n FROM (
+                SELECT user_id, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
+        """,
+        "q10_returned_revenue": """
+            -- TPC-H Q10 shape: returned-item revenue per customer, top 20
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue_cents DESC, c_custkey LIMIT 20
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

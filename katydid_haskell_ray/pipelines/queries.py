@@ -3965,3 +3965,120 @@ def user_event_unpivot(sf_dir: str):
         return out[["user_id", "event_type", "n"]]
 
     return wide.map_batches(melt, batch_format="pandas")
+
+
+def images_phash_triangles(sf_dir: str, k: int = 20):
+    """Local triangle counting over the phash near-dup graph (nodes =
+    distinct fingerprints, edges = the pigeonhole Hamming<=3 pairs): the
+    top-``k`` nodes by triangle participation, tie-break phash asc.
+
+    The operator is stages.graph.local_triangle_counts — the degree-
+    oriented node-iterator (Suri & Vassilvitskii, WWW'11) whose wedge
+    expansion is bounded O(sqrt(E)) per node, so a hot fingerprint hub
+    cannot blow up one reducer; see that module for the shuffle budget.
+    The top-k head is per-block partial heads (counts are complete per
+    node after the credit exchange), so the driver sees O(blocks * k)."""
+    from katydid_haskell_ray.stages.graph import local_triangle_counts
+
+    _, pairs = _distinct_phash_pairs(sf_dir)
+    counts = local_triangle_counts(pairs, a_col="a", b_col="b",
+                                   node_col="phash", out_col="n_tri")
+
+    def head(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n_tri", "phash"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    cand = counts.map_batches(head, batch_format="pandas").to_pandas()
+    out = (cand.sort_values(["n_tri", "phash"], ascending=[False, True],
+                            kind="mergesort").head(k)
+           .reset_index(drop=True))
+    return out.astype({"phash": np.int64, "n_tri": np.int64})
+
+
+def events_user_mode(sf_dir: str):
+    """Exact per-group mode: every user's most frequent event_type with a
+    deterministic tie-break (count desc, type asc) — the argmax-of-count
+    shape (two-level aggregation: the inner (user, type) count must
+    complete before the outer per-user argmax, unlike latest_per_user's
+    single-level argmax-by-timestamp).
+
+    Scale shape: per-block (user, type) count partials, ONE keyed
+    exchange on user (a user's rows land in one bucket, so the bucket
+    argmax is the global argmax), per-bucket sum + stable-sort head."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["user_id", "event_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gg = (g.groupby(["user_id", "event_type"], as_index=False)["n"]
+              .sum())
+        gg = gg.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True], kind="mergesort")
+        gg = gg.drop_duplicates("user_id", keep="first")
+        return gg.rename(columns={"event_type": "mode_type"})
+
+    partials = (ds.map_batches(partial, batch_format="pandas")
+                .map_batches(K.add_hash_fn("user_id"),
+                             batch_format="pyarrow"))
+    out = _auto_exchange(partials, per_bucket)
+    return out.map_batches(
+        lambda b: b[["user_id", "mode_type", "n"]]
+                   .astype({"user_id": np.int64, "n": np.int64}),
+        batch_format="pandas")
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: revenue from returned line items rolled up per
+    customer, top-``k`` by revenue (tie-break custkey asc), with the
+    customer name attached.
+
+    Scale shape: the lineitem scan filters returnflag='R' and partial-
+    aggregates per orderkey BEFORE the fact-fact join (combiner first),
+    the orderkey join is partitioned (both sides fact-sized), the custkey
+    rollup is one more combiner+exchange, the top-k head is per-block
+    partials, and the name lookup is a k-row predicate-pushdown read of
+    the customer table — never a full-dimension pull."""
+    from katydid_haskell_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"].to_numpy() == "R"]
+        rev = _cents(b["l_extendedprice"].to_numpy()
+                     * (1 - b["l_discount"].to_numpy()))
+        df = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                           "rev": rev})
+        return df.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: pa.table({"l_orderkey": t.column("o_orderkey"),
+                                         "o_custkey": t.column("o_custkey")}),
+                     batch_format="pyarrow")
+    j = hash_join(li.map_batches(prep, batch_format="pandas"), ords,
+                  key="l_orderkey", left_cols=["rev"],
+                  right_cols=["o_custkey"])
+    by_cust = grouped_sum(j, ["o_custkey"], {"revenue_cents": "rev"},
+                          count_as=None)
+
+    def head(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["revenue_cents", "o_custkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    cand = by_cust.map_batches(head, batch_format="pandas").to_pandas()
+    top = (cand.sort_values(["revenue_cents", "o_custkey"],
+                            ascending=[False, True], kind="mergesort")
+           .head(k))
+
+    import pyarrow.parquet as pq
+    names = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", top["o_custkey"].tolist())]).to_pandas()
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+           .merge(names, on="c_custkey", how="left")
+           [["c_custkey", "c_name", "revenue_cents"]].reset_index(drop=True))
+    return out.astype({"c_custkey": np.int64, "revenue_cents": np.int64})

@@ -289,3 +289,104 @@ def test_user_event_unpivot_zero_cells(ray_session, tmp_path):
             assert (got["n"] == 0).any()
             assert got.loc[(got.user_id == 2) & (got.event_type == "click"),
                            "n"].item() == 0
+
+
+def test_triangle_counts_brute(ray_session):
+    """local_triangle_counts vs an O(n^3) adjacency-matrix brute force on
+    a random graph dense enough to have hubs (degree skew exercises the
+    orientation bound)."""
+    import ray.data
+    from katydid_haskell_ray.stages.graph import local_triangle_counts
+
+    rng = np.random.default_rng(11)
+    n = 60
+    adj = np.zeros((n, n), dtype=bool)
+    # skewed: low-numbered nodes get much higher edge probability
+    for a in range(n):
+        for b in range(a + 1, n):
+            p = 0.45 if a < 6 else 0.08
+            if rng.random() < p:
+                adj[a, b] = adj[b, a] = True
+    aa, bb = np.nonzero(np.triu(adj, k=1))
+    edges = pd.DataFrame({"a": aa.astype(np.int64) + 1000,
+                          "b": bb.astype(np.int64) + 1000})
+
+    # brute: per-node triangle count = diag(A^3) / 2
+    a3 = np.linalg.matrix_power(adj.astype(np.int64), 3)
+    exp_counts = np.diag(a3) // 2
+    exp = pd.DataFrame({"node": np.arange(n, dtype=np.int64) + 1000,
+                        "n_tri": exp_counts.astype(np.int64)})
+    exp = exp[exp["n_tri"] > 0].reset_index(drop=True)
+
+    got = (local_triangle_counts(ray.data.from_pandas(edges))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    exp = exp.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # cross-check the global count too: each triangle credits 3 corners
+    assert int(got["n_tri"].sum()) % 3 == 0
+    assert int(got["n_tri"].sum()) // 3 == int(np.trace(a3)) // 6
+
+
+def test_triangle_counts_edge_cases(ray_session):
+    """No triangles (a path), and a single triangle with a pendant."""
+    import ray.data
+    from katydid_haskell_ray.stages.graph import local_triangle_counts
+
+    path = pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 4]})
+    got = local_triangle_counts(ray.data.from_pandas(path)).to_pandas()
+    assert len(got) == 0
+
+    tri = pd.DataFrame({"a": [1, 1, 2, 3], "b": [2, 3, 3, 9]})
+    got = (local_triangle_counts(ray.data.from_pandas(tri))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    exp = pd.DataFrame({"node": np.array([1, 2, 3], np.int64),
+                        "n_tri": np.ones(3, np.int64)})
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_events_user_mode_brute(ray_session):
+    """Per-user mode vs a pandas brute with the same tie-break."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = (_to_pandas(Q.events_user_mode(SF))
+           .sort_values("user_id").reset_index(drop=True))
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    cnt = (ev.groupby(["user_id", "event_type"], as_index=False)
+           .size().rename(columns={"size": "n"}))
+    cnt = cnt.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+    exp = (cnt.drop_duplicates("user_id", keep="first")
+           .rename(columns={"event_type": "mode_type"})
+           .sort_values("user_id").reset_index(drop=True)
+           .astype({"user_id": np.int64, "n": np.int64}))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q10_returned_revenue_brute(ray_session):
+    """Q10 shape vs a pandas brute at sf0.001 (same floor-cents units)."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = _to_pandas(Q.q10_returned_revenue(SF)).reset_index(drop=True)
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[li["l_returnflag"] == "R"].copy()
+    li["rev"] = np.floor(li["l_extendedprice"].to_numpy()
+                         * (1 - li["l_discount"].to_numpy())
+                         * 100).astype(np.int64)
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"])
+    cu = pd.read_parquet(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    agg = (j.groupby("o_custkey", as_index=False)["rev"].sum()
+           .rename(columns={"o_custkey": "c_custkey",
+                            "rev": "revenue_cents"}))
+    exp = (agg.merge(cu, on="c_custkey")
+           .sort_values(["revenue_cents", "c_custkey"],
+                        ascending=[False, True], kind="mergesort").head(20)
+           [["c_custkey", "c_name", "revenue_cents"]]
+           .reset_index(drop=True)
+           .astype({"c_custkey": np.int64, "revenue_cents": np.int64}))
+    pd.testing.assert_frame_equal(got, exp)

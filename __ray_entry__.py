@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_triangles": Q.images_phash_triangles,
         "events_user_mode": Q.events_user_mode,
         "q10_returned_revenue": Q.q10_returned_revenue,
+        "events_global_rank": Q.events_global_rank,
         # --- flagship re-certifications (to slot 50; the re-certs pushed
         # past 50 keep their official r01-r04 rows) ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
@@ -699,6 +700,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_returnflag = 'R'
             GROUP BY c_custkey, c_name
             ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+        """,
+        "events_global_rank": """
+            -- total order over the whole table: the distributed sort
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id)
+                        AS BIGINT) AS rn
+            FROM events
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

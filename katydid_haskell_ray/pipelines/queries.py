@@ -4082,3 +4082,27 @@ def q10_returned_revenue(sf_dir: str, k: int = 20):
            .merge(names, on="c_custkey", how="left")
            [["c_custkey", "c_name", "revenue_cents"]].reset_index(drop=True))
     return out.astype({"c_custkey": np.int64, "revenue_cents": np.int64})
+
+
+def events_global_rank(sf_dir: str):
+    """Global ROW_NUMBER over the whole events table ordered by
+    (ts, event_id) — the range-partitioned distributed sort
+    (stages.sort.global_row_number): sampled split keys, one contiguous
+    range exchange, bucket-local sort + prefix-sum rank offsets.  The
+    one total-order operator no keyed bucketing can express; the driver
+    sees only the key sample and one count row per bucket."""
+    from katydid_haskell_ray.stages.sort import global_row_number
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us"))
+                      .cast(pa.int64())})
+
+    ranked = global_row_number(ds.map_batches(prep, batch_format="pyarrow"),
+                               ["ts_us", "event_id"], out_col="rn")
+    return ranked.map_batches(
+        lambda b: b[["event_id", "rn"]].astype(np.int64),
+        batch_format="pandas")

@@ -390,3 +390,49 @@ def test_q10_returned_revenue_brute(ray_session):
            .reset_index(drop=True)
            .astype({"c_custkey": np.int64, "revenue_cents": np.int64}))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_global_row_number_brute(ray_session):
+    """Range-partitioned global sort vs a local argsort, ascending and
+    descending, with forced multi-bucket splits and duplicate keys."""
+    import ray.data
+    from katydid_haskell_ray.stages.sort import global_row_number
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 400, n).astype(np.int64),  # heavy duplicates
+        "tie": np.arange(n, dtype=np.int64),
+        "payload": rng.random(n)})
+    ds = ray.data.from_pandas(df).repartition(13)
+
+    for asc in (True, False):
+        got = (global_row_number(ds, ["k", "tie"], out_col="rn",
+                                 ascending=asc)
+               .to_pandas().sort_values("tie").reset_index(drop=True))
+        exp = df.copy()
+        s = 1 if asc else -1  # descending applies to EVERY key
+        order = np.lexsort((exp["tie"].to_numpy() * s,
+                            exp["k"].to_numpy() * s))
+        rn = np.empty(n, dtype=np.int64)
+        rn[order] = np.arange(1, n + 1)
+        exp["rn"] = rn
+        exp = exp.sort_values("tie").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "tie", "payload", "rn"]],
+            exp[["k", "tie", "payload", "rn"]])
+
+
+def test_events_global_rank_oracle(ray_session):
+    """events_global_rank vs the DuckDB ROW_NUMBER oracle at sf0.001."""
+    import duckdb as d
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = (_to_pandas(Q.events_global_rank(SF))
+           .sort_values("event_id").reset_index(drop=True))
+    exp = (d.connect().execute(f"""
+        SELECT event_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) rn
+        FROM read_parquet('{SF}/events.parquet')""").df()
+        .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)

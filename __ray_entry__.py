@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": Q.events_user_mode,
         "q10_returned_revenue": Q.q10_returned_revenue,
         "events_global_rank": Q.events_global_rank,
+        "docs_winsorized_mean": Q.docs_winsorized_mean,
         # --- flagship re-certifications (to slot 50; the re-certs pushed
         # past 50 keep their official r01-r04 rows) ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
@@ -707,6 +708,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id)
                         AS BIGINT) AS rn
             FROM events
+        """,
+        "docs_winsorized_mean": """
+            -- per-lang winsorized mean: clamp to exact discrete
+            -- [p05, p95] (0-based rank floor((n-1)*q)), then average
+            WITH r AS (
+                SELECT lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_chars) - 1 AS rk,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            ), b AS (
+                SELECT lang,
+                       MAX(CASE WHEN rk = CAST(floor((n - 1) * 0.05)
+                           AS BIGINT) THEN n_chars END) AS lo_v,
+                       MAX(CASE WHEN rk = CAST(floor((n - 1) * 0.95)
+                           AS BIGINT) THEN n_chars END) AS hi_v
+                FROM r GROUP BY lang
+            )
+            SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(floor(CAST(SUM(LEAST(GREATEST(d.n_chars, b.lo_v),
+                        b.hi_v)) AS DOUBLE) / COUNT(*) * 1e6) AS BIGINT)
+                       AS wmean_micro
+            FROM documents d JOIN b USING (lang)
+            GROUP BY d.lang
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

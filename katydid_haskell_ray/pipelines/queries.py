@@ -4106,3 +4106,64 @@ def events_global_rank(sf_dir: str):
     return ranked.map_batches(
         lambda b: b[["event_id", "rn"]].astype(np.int64),
         batch_format="pandas")
+
+
+def docs_winsorized_mean(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """Per-lang winsorized mean of n_chars: clamp every row to the exact
+    per-lang [p05, p95] discrete quantiles, then average — the robust-
+    statistics quantile-clamp-aggregate shape (LLM-data quality scoring
+    trims tail outliers exactly this way).
+
+    Exact grouped quantiles WITHOUT sorting row data: n_chars has a
+    bounded value domain, so per-(lang, value) counts are a combiner
+    (exchange volume = distinct values, not rows); per-lang cumulative
+    counts locate rank floor((n-1)*q) (0-based, SQL ROW_NUMBER rank
+    floor((n-1)*q)+1).  The clamp pass broadcasts the tiny per-lang
+    bound table and re-scans; sums are int64 so the mean is
+    order-independent, reported as floor-micros."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["lang", "n_chars"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    def per_lang_bounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["lang", "n_chars"], as_index=False)["c"].sum()
+             .sort_values(["lang", "n_chars"], kind="mergesort"))
+        out = []
+        for lang, gg in g.groupby("lang", sort=False):
+            cum = gg["c"].to_numpy().cumsum()
+            n = int(cum[-1])
+            vals = gg["n_chars"].to_numpy()
+            lo_r = int((n - 1) * lo_q)  # 0-based discrete rank
+            hi_r = int((n - 1) * hi_q)
+            lo_v = vals[np.searchsorted(cum, lo_r + 1)]
+            hi_v = vals[np.searchsorted(cum, hi_r + 1)]
+            out.append((lang, int(lo_v), int(hi_v)))
+        return pd.DataFrame(out, columns=["lang", "lo_v", "hi_v"])
+
+    partials = (ds.map_batches(cnt_partial, batch_format="pandas")
+                .map_batches(K.add_hash_fn("lang"), batch_format="pyarrow"))
+    bounds = _auto_exchange(partials, per_lang_bounds).to_pandas()
+    bref = ray.put(bounds)  # ~one row per lang: broadcast, never re-ship
+
+    def clamp_partial(b: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bref)
+        # inner semantics: a NULL-lang row has no bounds group (pandas
+        # groupby drops NaN keys) and the oracle's JOIN USING drops it too
+        m = b.merge(bd, on="lang", how="inner")
+        v = np.clip(m["n_chars"].to_numpy(),
+                    m["lo_v"].to_numpy(), m["hi_v"].to_numpy())
+        m["s"] = v.astype(np.int64)
+        g = (m.groupby("lang", as_index=False)
+             .agg(s=("s", "sum"), n=("s", "size")))
+        return g
+
+    parts = (ds.map_batches(clamp_partial, batch_format="pandas")
+             .to_pandas().groupby("lang", as_index=False).sum())
+    wm = parts["s"].to_numpy() / parts["n"].to_numpy()
+    return pd.DataFrame({
+        "lang": parts["lang"],
+        "n_docs": parts["n"].to_numpy().astype(np.int64),
+        "wmean_micro": _micros(wm)}).sort_values("lang") \
+        .reset_index(drop=True)

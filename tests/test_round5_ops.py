@@ -436,3 +436,25 @@ def test_events_global_rank_oracle(ray_session):
         FROM read_parquet('{SF}/events.parquet')""").df()
         .sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_docs_winsorized_mean_brute(ray_session):
+    """Quantile-clamp-aggregate vs a pandas brute with the same discrete
+    rank definition (0-based floor((n-1)*q))."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = _to_pandas(Q.docs_winsorized_mean(SF)).reset_index(drop=True)
+
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["lang", "n_chars"])
+    rows = []
+    for lang, g in d.groupby("lang", sort=True):
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        lo = v[int((n - 1) * 0.05)]
+        hi = v[int((n - 1) * 0.95)]
+        c = np.clip(g["n_chars"].to_numpy(), lo, hi).astype(np.int64)
+        rows.append((lang, n, int(np.floor(c.sum() / n * 1e6))))
+    exp = pd.DataFrame(rows, columns=["lang", "n_docs", "wmean_micro"]) \
+        .astype({"n_docs": np.int64, "wmean_micro": np.int64})
+    pd.testing.assert_frame_equal(got, exp)

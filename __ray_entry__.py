@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": Q.q10_returned_revenue,
         "events_global_rank": Q.events_global_rank,
         "docs_winsorized_mean": Q.docs_winsorized_mean,
+        "docs_substring_dupes": Q.docs_substring_dupes,
         # --- flagship re-certifications (to slot 50; the re-certs pushed
         # past 50 keep their official r01-r04 rows) ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
@@ -732,6 +733,25 @@ def oracle_sql() -> dict[str, str]:
                        AS wmean_micro
             FROM documents d JOIN b USING (lang)
             GROUP BY d.lang
+        """,
+        "docs_substring_dupes": """
+            -- exact substring-duplication scan: stride-8 32-char windows,
+            -- per doc (windows, windows shared with any other doc)
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 31, 8)) AS i
+                FROM documents
+            ), gd AS (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 32)
+                       AS gram
+                FROM pos
+            ), shared AS (
+                SELECT gram FROM gd GROUP BY gram HAVING COUNT(*) >= 2
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gram,
+                   CAST(SUM(CASE WHEN gram IN (SELECT gram FROM shared)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+            FROM gd GROUP BY doc_id
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

@@ -4167,3 +4167,61 @@ def docs_winsorized_mean(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
         "n_docs": parts["n"].to_numpy().astype(np.int64),
         "wmean_micro": _micros(wm)}).sort_values("lang") \
         .reset_index(drop=True)
+
+
+def docs_substring_dupes(sf_dir: str, w: int = 32, stride: int = 8):
+    """Exact substring-duplication scan (the Lee et al. 2022 "Deduplicating
+    Training Data" shape): every ``stride``-th ``w``-char window of every
+    document, counted per doc as (windows, windows shared with ANY other
+    doc).  Per-doc duplicated-window counts — never doc pairs — so a
+    boilerplate gram shared by a million docs costs one linear group, not
+    a quadratic pair expansion.
+
+    Scale shape: window extraction is a vectorized str.slice sweep (one
+    kernel per offset, no per-row loop); the exchange ships (doc_id, gram)
+    rows keyed by gram — raw-substring keys make the oracle exact and cost
+    w bytes/row; ``stride`` is the volume knob (a winnowing selector drops
+    it another k-fold at the cost of SQL expressibility).  Gram groups
+    count distinct docs linearly; per-doc rollup is a second small keyed
+    exchange on doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype(str)
+        n = t.str.len().to_numpy()
+        out = []
+        maxlen = int(n.max()) if len(n) else 0
+        for o in range(0, max(maxlen - w + 1, 0), stride):
+            keep = n >= o + w
+            if not keep.any():
+                break
+            g = t[keep].str.slice(o, o + w)
+            out.append(pd.DataFrame({"doc_id": b["doc_id"].to_numpy()[keep],
+                                     "gram": g.to_numpy()}))
+        if not out:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "gram": np.empty(0, object)})
+        df = pd.concat(out, ignore_index=True)
+        return df.drop_duplicates()  # a gram repeated in a doc counts once
+
+    def per_gram_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "gram"])
+        ndocs = g.groupby("gram")["doc_id"].transform("nunique")
+        g = g.assign(shared=(ndocs >= 2).astype(np.int64))
+        return (g.groupby("doc_id", as_index=False)
+                .agg(n_gram=("gram", "size"), n_shared=("shared", "sum")))
+
+    bucketed = (ds.map_batches(grams, batch_format="pandas")
+                .map_batches(K.add_hash_fn("gram"), batch_format="pyarrow"))
+    partials = _auto_exchange(bucketed, per_gram_bucket)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False)[["n_gram", "n_shared"]] \
+            .sum()
+
+    out = _auto_exchange(
+        partials.map_batches(K.add_hash_fn("doc_id"),
+                             batch_format="pyarrow"), per_doc)
+    return out.map_batches(
+        lambda b: b[["doc_id", "n_gram", "n_shared"]].astype(np.int64),
+        batch_format="pandas")

@@ -458,3 +458,29 @@ def test_docs_winsorized_mean_brute(ray_session):
     exp = pd.DataFrame(rows, columns=["lang", "n_docs", "wmean_micro"]) \
         .astype({"n_docs": np.int64, "wmean_micro": np.int64})
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_docs_substring_dupes_brute(ray_session):
+    """Substring-duplication scan vs a pure-Python brute (same stride-8
+    32-char windows, per-(doc, gram) distinct)."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = (_to_pandas(Q.docs_substring_dupes(SF))
+           .sort_values("doc_id").reset_index(drop=True))
+
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    per_doc = {}
+    owners = {}
+    for did, txt in zip(d["doc_id"], d["text"]):
+        gs = {txt[o:o + 32] for o in range(0, max(len(txt) - 31, 0), 8)}
+        if gs:
+            per_doc[int(did)] = gs
+            for g in gs:
+                owners[g] = owners.get(g, 0) + 1
+    rows = [(did, len(gs), sum(1 for g in gs if owners[g] >= 2))
+            for did, gs in per_doc.items()]
+    exp = (pd.DataFrame(rows, columns=["doc_id", "n_gram", "n_shared"])
+           .astype(np.int64).sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert (exp["n_shared"] > 0).any()  # the fixture must exercise sharing

@@ -113,7 +113,12 @@ def run_bench() -> dict:
         "q6_forecast_revenue", "late_orders_by_priority",
         "embedding_top_component", "lang_len_regression",
         "docs_lang_source_chi2", "docs_export_by_lang",
-        "images_phash_components")
+        "images_phash_components",
+        # round-5 continuation: interval join / graph / sort / dedup scans
+        "events_span_interval_join", "user_event_unpivot",
+        "images_phash_triangles", "events_user_mode",
+        "q10_returned_revenue", "events_global_rank",
+        "docs_winsorized_mean", "docs_substring_dupes")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": Q.events_global_rank,
         "docs_winsorized_mean": Q.docs_winsorized_mean,
         "docs_substring_dupes": Q.docs_substring_dupes,
+        "events_top_paths": Q.events_top_paths,
         # --- flagship re-certifications (to slot 50; the re-certs pushed
         # past 50 keep their official r01-r04 rows) ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
@@ -752,6 +753,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN gram IN (SELECT gram FROM shared)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
             FROM gd GROUP BY doc_id
+        """,
+        "events_top_paths": """
+            -- top consecutive 3-event paths in per-user time order
+            WITH s AS (
+                SELECT event_type AS t0,
+                       LEAD(event_type, 1) OVER w AS t1,
+                       LEAD(event_type, 2) OVER w AS t2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t0, t1, t2, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+            GROUP BY t0, t1, t2
+            ORDER BY n DESC, t0, t1, t2 LIMIT 10
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

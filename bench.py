@@ -118,7 +118,8 @@ def run_bench() -> dict:
         "events_span_interval_join", "user_event_unpivot",
         "images_phash_triangles", "events_user_mode",
         "q10_returned_revenue", "events_global_rank",
-        "docs_winsorized_mean", "docs_substring_dupes")
+        "docs_winsorized_mean", "docs_substring_dupes",
+        "events_top_paths")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

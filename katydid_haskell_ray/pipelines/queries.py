@@ -4225,3 +4225,43 @@ def docs_substring_dupes(sf_dir: str, w: int = 32, stride: int = 8):
     return out.map_batches(
         lambda b: b[["doc_id", "n_gram", "n_shared"]].astype(np.int64),
         batch_format="pandas")
+
+
+def events_top_paths(sf_dir: str, k: int = 10):
+    """Sequence mining: the ``k`` most frequent 3-event paths across all
+    users (consecutive event-type trigrams in per-user time order, SQL
+    LEAD x2), tie-break lexicographic.
+
+    Scale shape: one keyed exchange on user (a user's ordered history
+    lives in one bucket, so trigrams never cross buckets), vectorized
+    shift-based trigram extraction + per-bucket counts; the path domain
+    is |types|^3, so the final rollup is driver-tiny by construction."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us"))
+                      .cast(pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        grp = g.groupby("user_id", sort=False)["event_type"]
+        g = g.assign(t0=g["event_type"], t1=grp.shift(-1),
+                     t2=grp.shift(-2))
+        g = g.dropna(subset=["t1", "t2"])
+        return (g.groupby(["t0", "t1", "t2"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(K.add_hash_fn("user_id"),
+                             batch_format="pyarrow"))
+    parts = _auto_exchange(bucketed, per_bucket).to_pandas()
+    agg = parts.groupby(["t0", "t1", "t2"], as_index=False)["n"].sum()
+    out = (agg.sort_values(["n", "t0", "t1", "t2"],
+                           ascending=[False, True, True, True],
+                           kind="mergesort").head(k).reset_index(drop=True))
+    return out.astype({"n": np.int64})

@@ -484,3 +484,24 @@ def test_docs_substring_dupes_brute(ray_session):
            .astype(np.int64).sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
     assert (exp["n_shared"] > 0).any()  # the fixture must exercise sharing
+
+
+def test_events_top_paths_brute(ray_session):
+    """Trigram path mining vs a pandas LEAD-style brute."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = _to_pandas(Q.events_top_paths(SF)).reset_index(drop=True)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    g = ev.groupby("user_id", sort=False)["event_type"]
+    ev = ev.assign(t0=ev["event_type"], t1=g.shift(-1), t2=g.shift(-2))
+    ev = ev.dropna(subset=["t1", "t2"])
+    exp = (ev.groupby(["t0", "t1", "t2"], as_index=False)
+           .size().rename(columns={"size": "n"})
+           .sort_values(["n", "t0", "t1", "t2"],
+                        ascending=[False, True, True, True],
+                        kind="mergesort").head(10)
+           .reset_index(drop=True).astype({"n": np.int64}))
+    pd.testing.assert_frame_equal(got, exp)

@@ -117,28 +117,24 @@ def local_triangle_counts(edges, *, a_col: str = "a", b_col: str = "b",
         g = g.sort_values(["src", "ddst", "dst"], kind="mergesort")
         src = g["src"].to_numpy()
         dst = g["dst"].to_numpy()
+        # fully vectorized all-(i<j)-pairs within runs of equal src: the
+        # element at in-run position p (run length L) is the LO side of
+        # L-1-p pairs whose HI sides are the next elements of the run
         starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
         lens = np.diff(np.r_[starts, len(src)])
-        npairs = lens * (lens - 1) // 2
-        tot = int(npairs.sum())
+        pos = np.arange(len(src)) - np.repeat(starts, lens)
+        counts = np.repeat(lens, lens) - 1 - pos   # pairs led by each elem
+        tot = int(counts.sum())
         if tot == 0:
             return pd.DataFrame({"apex": np.empty(0, np.int64),
                                  "lo": np.empty(0, np.int64),
                                  "hi": np.empty(0, np.int64)})
-        apex = np.empty(tot, np.int64)
-        lo = np.empty(tot, np.int64)
-        hi = np.empty(tot, np.int64)
-        w = 0
-        for s, ln, npr in zip(starts, lens, npairs):
-            if npr == 0:
-                continue
-            nb = dst[s:s + ln]
-            ii, jj = np.triu_indices(ln, k=1)
-            apex[w:w + npr] = src[s]
-            lo[w:w + npr] = nb[ii]
-            hi[w:w + npr] = nb[jj]
-            w += npr
-        return pd.DataFrame({"apex": apex, "lo": lo, "hi": hi})
+        lo_idx = np.repeat(np.arange(len(src)), counts)
+        run_off = np.cumsum(counts) - counts
+        seq = np.arange(tot) - np.repeat(run_off, counts)
+        hi_idx = lo_idx + 1 + seq
+        return pd.DataFrame({"apex": src[lo_idx], "lo": dst[lo_idx],
+                             "hi": dst[hi_idx]})
 
     wedges = _auto_exchange(_hashed(oriented, "src"), wedge_bucket)
 

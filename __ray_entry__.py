@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winsorized_mean": Q.docs_winsorized_mean,
         "docs_substring_dupes": Q.docs_substring_dupes,
         "events_top_paths": Q.events_top_paths,
+        "session_type_pairs": Q.session_type_pairs,
         # --- flagship re-certifications (to slot 50; the re-certs pushed
         # past 50 keep their official r01-r04 rows) ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
@@ -767,6 +768,31 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
             GROUP BY t0, t1, t2
             ORDER BY n DESC, t0, t1, t2 LIMIT 10
+        """,
+        "session_type_pairs": """
+            -- within-session distinct type co-occurrence pairs
+            WITH flagged AS (
+                SELECT user_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, event_type,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ), st AS (
+                SELECT DISTINCT user_id, sid, event_type FROM sess
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM st a JOIN st b
+              ON a.user_id = b.user_id AND a.sid = b.sid
+             AND a.event_type < b.event_type
+            GROUP BY type_a, type_b
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

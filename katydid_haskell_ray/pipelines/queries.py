@@ -4265,3 +4265,52 @@ def events_top_paths(sf_dir: str, k: int = 10):
                            ascending=[False, True, True, True],
                            kind="mergesort").head(k).reset_index(drop=True))
     return out.astype({"n": np.int64})
+
+
+def session_type_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence: for every 30-min-gap
+    session (the events_sessions definition), the distinct type pairs it
+    contains, counted over all sessions — the market-basket / co-visit
+    shape on the sessionized stream.
+
+    Scale shape: one user-keyed exchange (a user's ordered history lives
+    in one bucket), vectorized gap/session-id assignment, per-bucket
+    (session x session) self-merge over DISTINCT (session, type) rows
+    (sessions hold <= |types| distinct types, so the merge is
+    output-linear), and a |types|^2-bounded driver rollup."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "ts_us": t.column("ts").cast(pa.timestamp("us"))
+                      .cast(pa.int64())})
+
+    gap_us = 1800 * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new = np.empty(len(g), dtype=np.int64)
+        new[0] = 1
+        new[1:] = ((u[1:] != u[:-1])
+                   | (ts[1:] - ts[:-1] > gap_us)).astype(np.int64)
+        g = g.assign(sid=np.cumsum(new))
+        st = g[["user_id", "sid", "event_type"]].drop_duplicates()
+        m = st.merge(st, on=["user_id", "sid"], suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        return (m.groupby(["event_type_a", "event_type_b"], as_index=False)
+                .size().rename(columns={"size": "n",
+                                        "event_type_a": "type_a",
+                                        "event_type_b": "type_b"}))
+
+    bucketed = (ds.map_batches(prep, batch_format="pyarrow")
+                .map_batches(K.add_hash_fn("user_id"),
+                             batch_format="pyarrow"))
+    parts = _auto_exchange(bucketed, per_bucket).to_pandas()
+    out = (parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+           .rename(columns={"n": "n_sessions"})
+           .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+    return out.astype({"n_sessions": np.int64})

@@ -505,3 +505,32 @@ def test_events_top_paths_brute(ray_session):
                         kind="mergesort").head(10)
            .reset_index(drop=True).astype({"n": np.int64}))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_session_type_pairs_brute(ray_session):
+    """Session co-occurrence vs a pandas brute with the same 30-min gap
+    sessionization."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = _to_pandas(Q.session_type_pairs(SF)).reset_index(drop=True)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    ev = ev.sort_values(["user_id", "ts"], kind="mergesort")
+    ts = ev["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    u = ev["user_id"].to_numpy()
+    new = np.empty(len(ev), np.int64)
+    new[0] = 1
+    new[1:] = ((u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > 1800_000_000)) \
+        .astype(np.int64)
+    ev = ev.assign(sid=np.cumsum(new))
+    st = ev[["sid", "event_type"]].drop_duplicates()
+    m = st.merge(st, on="sid", suffixes=("_a", "_b"))
+    m = m[m["event_type_a"] < m["event_type_b"]]
+    exp = (m.groupby(["event_type_a", "event_type_b"], as_index=False)
+           .size()
+           .rename(columns={"size": "n_sessions", "event_type_a": "type_a",
+                            "event_type_b": "type_b"})
+           .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+           .astype({"n_sessions": np.int64}))
+    pd.testing.assert_frame_equal(got, exp)

@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dupes": Q.docs_substring_dupes,
         "events_top_paths": Q.events_top_paths,
         "session_type_pairs": Q.session_type_pairs,
+        "top_docs_diversified": Q.top_docs_diversified,
         # --- flagship re-certifications (to slot 50; the re-certs pushed
         # past 50 keep their official r01-r04 rows) ---
         "q1_lineitem_agg": Q.q1_lineitem_agg,
@@ -793,6 +794,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND a.sid = b.sid
              AND a.event_type < b.event_type
             GROUP BY type_a, type_b
+        """,
+        "top_docs_diversified": """
+            -- global top-10 longest docs, at most 2 per lang
+            WITH r AS (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            SELECT doc_id, lang, n_chars FROM r WHERE rn <= 2
+            ORDER BY n_chars DESC, doc_id LIMIT 10
         """,
         "isprime_quantity": """
             -- exact for the TPC-H quantity domain 1..50

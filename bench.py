@@ -119,7 +119,8 @@ def run_bench() -> dict:
         "images_phash_triangles", "events_user_mode",
         "q10_returned_revenue", "events_global_rank",
         "docs_winsorized_mean", "docs_substring_dupes",
-        "events_top_paths", "session_type_pairs")
+        "events_top_paths", "session_type_pairs",
+        "top_docs_diversified")
     for name in query_names:
         fn = getattr(Q, name)
         t = time.time()

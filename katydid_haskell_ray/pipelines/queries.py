@@ -4314,3 +4314,25 @@ def session_type_pairs(sf_dir: str):
            .rename(columns={"n": "n_sessions"})
            .sort_values(["type_a", "type_b"]).reset_index(drop=True))
     return out.astype({"n_sessions": np.int64})
+
+
+def top_docs_diversified(sf_dir: str, k: int = 10, per_group: int = 2):
+    """Diversified global top-k: the ``k`` longest documents with at most
+    ``per_group`` per lang (the quota-ranking pattern: per-group
+    ROW_NUMBER <= quota, then a global head) — result diversification
+    for dedup-aware sampling and eval-set construction.
+
+    Scale shape: the per-lang quota rides grouped_topk's combiner (per
+    block top-``per_group`` per lang, then a group-keyed exchange head);
+    the surviving <= |langs| x per_group rows take the global head on the
+    driver."""
+    from katydid_haskell_ray.stages.topk import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    quota = grouped_topk(ds, group_cols=["lang"], k=per_group,
+                         by=["n_chars", "doc_id"],
+                         ascending=[False, True]).to_pandas()
+    out = (quota.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True], kind="mergesort")
+           .head(k)[["doc_id", "lang", "n_chars"]].reset_index(drop=True))
+    return out.astype({"doc_id": np.int64, "n_chars": np.int64})

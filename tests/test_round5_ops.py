@@ -534,3 +534,23 @@ def test_session_type_pairs_brute(ray_session):
            .sort_values(["type_a", "type_b"]).reset_index(drop=True)
            .astype({"n_sessions": np.int64}))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_top_docs_diversified_brute(ray_session):
+    """Quota ranking vs a pandas brute (per-lang ROW_NUMBER <= 2, global
+    head 10, same tie-breaks)."""
+    from katydid_haskell_ray.pipelines import queries as Q
+
+    got = _to_pandas(Q.top_docs_diversified(SF)).reset_index(drop=True)
+
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+    d = d.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                      kind="mergesort")
+    quota = d.groupby("lang", sort=False).head(2)
+    exp = (quota.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True], kind="mergesort")
+           .head(10)[["doc_id", "lang", "n_chars"]].reset_index(drop=True)
+           .astype({"doc_id": np.int64, "n_chars": np.int64}))
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["lang"].value_counts().max() <= 2
